@@ -1,0 +1,235 @@
+"""Typed configuration tree.
+
+Mirrors the reference's three-layer config system (global EasyDict defaults <-
+yaml merge <- dotted-key CLI overrides; reference: lib/model/utils/config.py)
+as a frozen dataclass tree.  Knob names are kept 1:1 with the reference
+(`RPN_PRE_NMS_TOP_N`, `FG_FRACTION`, `MARGIN`, `query_size`,
+`train_categories`, ...) so the published yaml recipes in cfgs/*.yml load
+unchanged.
+
+TPU additions (absent in the reference) live under `Config.tpu`: static padded
+shapes, compute dtype, and mesh axes — everything XLA needs to compile a single
+fixed program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from ast import literal_eval
+from dataclasses import dataclass, field
+from typing import Any, Sequence, Tuple
+
+import yaml
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    # Optimization (reference config.py:19-63)
+    LEARNING_RATE: float = 0.001
+    MOMENTUM: float = 0.9
+    WEIGHT_DECAY: float = 0.0005
+    GAMMA: float = 0.1
+    STEPSIZE: Tuple[int, ...] = (30000,)
+    DOUBLE_BIAS: bool = True
+    BIAS_DECAY: bool = False
+    TRUNCATED: bool = False
+    MARGIN: float = -0.3  # margin-ranking loss margin (config.py:23)
+
+    # Input (config.py:67-78)
+    SCALES: Tuple[int, ...] = (600,)
+    MAX_SIZE: int = 1000
+    query_size: int = 128
+    IMS_PER_BATCH: int = 1
+    USE_FLIPPED: bool = True
+
+    # ROI sampling (config.py:81-92)
+    BATCH_SIZE: int = 128        # rois per image
+    FG_FRACTION: float = 0.25
+    FG_THRESH: float = 0.5
+    BG_THRESH_HI: float = 0.5
+    BG_THRESH_LO: float = 0.1
+
+    # Box target normalization (config.py:117-124)
+    BBOX_REG: bool = True
+    BBOX_NORMALIZE_TARGETS_PRECOMPUTED: bool = True
+    BBOX_INSIDE_WEIGHTS: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+    BBOX_NORMALIZE_MEANS: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
+    BBOX_NORMALIZE_STDS: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
+
+    # RPN (config.py:134-161)
+    HAS_RPN: bool = True
+    RPN_POSITIVE_OVERLAP: float = 0.7
+    RPN_NEGATIVE_OVERLAP: float = 0.3
+    RPN_CLOBBER_POSITIVES: bool = False
+    RPN_FG_FRACTION: float = 0.5
+    RPN_BATCHSIZE: int = 256
+    RPN_NMS_THRESH: float = 0.7
+    RPN_PRE_NMS_TOP_N: int = 12000
+    RPN_POST_NMS_TOP_N: int = 2000
+    RPN_MIN_SIZE: int = 8
+    RPN_BBOX_INSIDE_WEIGHTS: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+    RPN_POSITIVE_WEIGHT: float = -1.0
+    USE_ALL_GT: bool = True
+
+    PROPOSAL_METHOD: str = "gt"
+    DISPLAY: int = 10
+    SNAPSHOT_KEPT: int = 3
+
+
+@dataclass(frozen=True)
+class TestConfig:
+    SCALES: Tuple[int, ...] = (600,)
+    MAX_SIZE: int = 1000
+    NMS: float = 0.3
+    BBOX_REG: bool = True
+    HAS_RPN: bool = True
+    PROPOSAL_METHOD: str = "gt"
+    RPN_NMS_THRESH: float = 0.7
+    RPN_PRE_NMS_TOP_N: int = 6000
+    RPN_POST_NMS_TOP_N: int = 300
+    RPN_MIN_SIZE: int = 16
+    MODE: str = "nms"
+    # score threshold + per-image cap applied by the test CLI
+    # (reference test_net_voc.py:424-450)
+    SCORE_THRESH: float = 0.05
+    MAX_PER_IMAGE: int = 100
+
+
+@dataclass(frozen=True)
+class ResnetConfig:
+    FIXED_BLOCKS: int = 2  # kept for knob parity; live reference freezes stem+BN only
+    MAX_POOL: bool = False
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture knobs (hardcoded in the reference ctors)."""
+    backbone: str = "resnet50"          # resnet50 | resnet101 | vgg16
+    channels: int = 1024                 # dout_base_model (resnet_sys:366)
+    coattention: str = "mha"            # "mha" (VOC model) | "nonlocal" (COCO model)
+    coatt_normalization: str = "division"   # nonlocal flavor: 'division' | 'softmax'
+    # AIT transformer (faster_rcnn_sys:148-158)
+    t_d_model: int = 512
+    t_d_inner: int = 2048
+    t_n_layers: int = 1
+    t_n_head: int = 8
+    t_d_k: int = 64
+    t_d_v: int = 64
+    t_n_position: int = 64
+    t_dropout: float = 0.1
+    t_causal_mask: bool = True   # system_mask ablation flips this to False
+    t_attn_dist: str = "softmax"  # 'softmax' | 'division' (Modules.py:23-26)
+    # SK block: the reference computes gate `a` but applies f*f (blocks:981).
+    # 'faithful' reproduces f*f; 'fixed' applies the computed gate f*a.
+    sk_gate: str = "faithful"
+    class_agnostic: bool = True
+    num_K: int = 3  # unused by the live path; kept for ctor parity
+
+
+@dataclass(frozen=True)
+class TpuConfig:
+    """TPU/XLA-specific static-shape & precision policy (no reference analog)."""
+    image_size: Tuple[int, int] = (608, 800)   # padded (H, W); 600-scale bucket
+    query_hw: int = 128                        # == TRAIN.query_size
+    max_gt_boxes: int = 20                     # MAX_NUM_GT_BOXES
+    roi_sampling_ratio: int = 2                # static grid (ref uses adaptive ratio=0)
+    nms_tile: int = 256                        # blocked-NMS tile size
+    compute_dtype: str = "bfloat16"            # conv/matmul dtype; params stay f32
+    mesh_axes: Tuple[str, ...] = ("data",)
+    donate_state: bool = True
+
+
+@dataclass(frozen=True)
+class Config:
+    TRAIN: TrainConfig = field(default_factory=TrainConfig)
+    TEST: TestConfig = field(default_factory=TestConfig)
+    RESNET: ResnetConfig = field(default_factory=ResnetConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    tpu: TpuConfig = field(default_factory=TpuConfig)
+
+    # Globals (config.py:252-310)
+    train_categories: Tuple[int, ...] = (1,)
+    test_categories: Tuple[int, ...] = (1,)
+    PIXEL_MEANS: Tuple[float, ...] = (102.9801, 115.9465, 122.7717)
+    RNG_SEED: int = 3
+    EPS: float = 1e-14
+    EXP_DIR: str = "default"
+    POOLING_MODE: str = "align"   # shipped cfgs always set 'align'
+    POOLING_SIZE: int = 7
+    MAX_NUM_GT_BOXES: int = 20
+    ANCHOR_SCALES: Tuple[int, ...] = (8, 16, 32)
+    ANCHOR_RATIOS: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    FEAT_STRIDE: Tuple[int, ...] = (16,)
+
+    # ------------------------------------------------------------------
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def override(self, dotted: Sequence[str]) -> "Config":
+        """Apply `--set`-style dotted-key overrides.
+
+        e.g. ["TRAIN.RPN_PRE_NMS_TOP_N", "6000", "POOLING_MODE", "align"]
+        Mirrors cfg_from_list (reference config.py:388-408) incl. type check.
+        """
+        assert len(dotted) % 2 == 0, "overrides must be key value pairs"
+        cfg = self
+        for key, raw in zip(dotted[0::2], dotted[1::2]):
+            cfg = _set_dotted(cfg, key.split("."), raw)
+        return cfg
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "Config":
+        """Merge a reference-format yaml recipe over the defaults.
+
+        Mirrors cfg_from_file (reference config.py:345-386): unknown keys are
+        an error, and value types must match the default's type.
+        """
+        with open(path) as f:
+            doc = yaml.safe_load(f) or {}
+        return _merge_into(cls(), doc)
+
+
+def _coerce(raw: Any, old: Any) -> Any:
+    if isinstance(raw, str):
+        try:
+            raw = literal_eval(raw)
+        except (ValueError, SyntaxError):
+            pass
+    if isinstance(old, tuple) and isinstance(raw, (list, tuple)):
+        return tuple(raw)
+    if isinstance(old, bool):
+        if isinstance(raw, bool):
+            return raw
+        raise TypeError(f"expected bool, got {raw!r}")
+    if isinstance(old, float) and isinstance(raw, int):
+        return float(raw)
+    if old is not None and not isinstance(raw, type(old)):
+        raise TypeError(f"type mismatch: {raw!r} vs default {old!r}")
+    return raw
+
+
+def _set_dotted(node: Any, keys: Sequence[str], raw: Any) -> Any:
+    key = keys[0]
+    if not hasattr(node, key):
+        raise KeyError(f"unknown config key: {key}")
+    old = getattr(node, key)
+    if len(keys) == 1:
+        return dataclasses.replace(node, **{key: _coerce(raw, old)})
+    return dataclasses.replace(node, **{key: _set_dotted(old, keys[1:], raw)})
+
+
+def _merge_into(node: Any, doc: dict) -> Any:
+    updates = {}
+    for key, val in doc.items():
+        if not hasattr(node, key):
+            # tolerate reference-only bookkeeping keys
+            if key in ("SNAPSHOT_PREFIX", "EXP_DIR", "CROP_RESIZE_WITH_MAX_POOL",
+                       "DISPLAY", "HAS_RPN"):
+                continue
+            raise KeyError(f"unknown config key in yaml: {key}")
+        old = getattr(node, key)
+        if dataclasses.is_dataclass(old) and isinstance(val, dict):
+            updates[key] = _merge_into(old, val)
+        else:
+            updates[key] = _coerce(val, old)
+    return dataclasses.replace(node, **updates)

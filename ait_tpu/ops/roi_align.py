@@ -1,0 +1,92 @@
+"""ROI Align as two separable interpolation contractions (MXU-friendly).
+
+Semantics pinned to the reference CUDA kernel
+(lib/model/csrc/cuda/ROIAlign_cuda.cu:64-122):
+  * NO half-pixel shift and NO rounding of roi coords (`:81-89`);
+  * malformed rois are forced to 1x1 (`roi_w = max(roi_w, 1)`, `:91-93`);
+  * samples with y < -1 or y > H contribute zero; y in [-1, 0] clamps to 0;
+  * bilinear taps are averaged over the sampling grid.
+
+Deviation (documented, config-gated): the reference uses `sampling_ratio=0`
+(adaptive ceil(roi/bin) grid), which is a dynamic shape.  We use a static
+`sampling_ratio` (default 2) — the standard fixed grid used by torchvision
+callers; numerics differ by a sub-pixel quadrature choice only.
+
+Instead of gathers, bilinear sampling is expressed as two dense interpolation
+matrices (each row has <=2 nonzeros) contracted against the feature map:
+    out[r, i, j, c] = Wy[r, i, h] * feat[h, w, c] * Wx[r, j, w]
+which XLA maps straight onto the MXU.  The backward pass is the autodiff
+transpose of the same contractions — deterministic, unlike the reference's
+atomicAdd scatter backward (ROIAlign_cuda.cu:125+).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _interp_weights(start, bin_size, n_bins, n_samples, size):
+    """Per-roi 1-D bilinear interpolation matrix.
+
+    start: [R] roi start (feature coords); bin_size: [R].
+    Returns [R, n_bins * n_samples, size] weights.
+    """
+    iy = jnp.arange(n_bins * n_samples, dtype=jnp.float32)
+    ph = iy // n_samples
+    s = iy % n_samples
+    # sample position, ROIAlign_cuda.cu:96-101 with static grid
+    pos = start[:, None] + ph[None, :] * bin_size[:, None] + (
+        (s[None, :] + 0.5) * bin_size[:, None] / n_samples
+    )  # [R, I]
+    out_of_range = (pos < -1.0) | (pos > size)
+    pos = jnp.clip(pos, 0.0, size - 1.0)
+    low = jnp.floor(pos)
+    frac = pos - low
+    grid = jnp.arange(size, dtype=jnp.float32)[None, None, :]
+    w = (grid == low[..., None]) * (1.0 - frac[..., None]) + (
+        grid == (low[..., None] + 1.0)
+    ) * frac[..., None]
+    # low == size-1 => high out of bounds; cuda clamps to (low=high=size-1, frac=0)
+    # our clip already gives frac=0 there, so the (grid==low) term carries weight 1.
+    return jnp.where(out_of_range[..., None], 0.0, w)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_size", "spatial_scale", "sampling_ratio"),
+)
+def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, *, out_size: int = 7,
+              spatial_scale: float = 1.0 / 16.0,
+              sampling_ratio: int = 2) -> jnp.ndarray:
+    """feat: [B, H, W, C]; rois: [B, R, 4] (x1,y1,x2,y2, image coords).
+
+    Returns [B, R, out_size, out_size, C].
+    """
+    _, hh, ww, _ = feat.shape
+    s = sampling_ratio
+
+    def one(fm, rb):
+        x1 = rb[:, 0] * spatial_scale
+        y1 = rb[:, 1] * spatial_scale
+        x2 = rb[:, 2] * spatial_scale
+        y2 = rb[:, 3] * spatial_scale
+        roi_w = jnp.maximum(x2 - x1, 1.0)
+        roi_h = jnp.maximum(y2 - y1, 1.0)
+        bw = roi_w / out_size
+        bh = roi_h / out_size
+        wy = _interp_weights(y1, bh, out_size, s, hh)  # [R, PH*S, H]
+        wx = _interp_weights(x1, bw, out_size, s, ww)  # [R, PW*S, W]
+        wy = wy.astype(fm.dtype)
+        wx = wx.astype(fm.dtype)
+        t = jnp.einsum("rih,hwc->riwc", wy, fm,
+                       preferred_element_type=jnp.float32)
+        o = jnp.einsum("rjw,riwc->rijc", wx, t.astype(fm.dtype),
+                       preferred_element_type=jnp.float32)
+        r = rb.shape[0]
+        o = o.reshape(r, out_size, s, out_size, s, -1)
+        return o.mean(axis=(2, 4)).astype(fm.dtype)
+
+    return jax.vmap(one)(feat, rois)
