@@ -1,0 +1,142 @@
+"""The Adaptive Image Transformer: per-proposal encoder-decoder.
+
+Semantics pinned to lib/model/system/Models.py:
+  * enc_emb/dec_emb 1x1-conv embed 1024 -> 512 (`:188-193,246-247`);
+  * the query feature map is tiled once per proposal (`:250`);
+  * proposal tokens (len 49) are zero-padded to the query length 64, with a
+    source pad mask marking the padding (`:258-270`);
+  * sinusoidal positions + dropout + input LayerNorm (`:26-51`, Encoder/Decoder
+    `:98-99,155-156`);
+  * encoder = n_layers x (self-attn + FFN) over proposal tokens; decoder =
+    n_layers x (self-attn with CAUSAL mask + cross-attn to encoder + FFN) over
+    query tokens (`:143-172`, mask `:17-23,262-263`); the `system_mask`
+    ablation drops the causal mask — exposed here as `causal_mask=False`;
+  * output reshaped to the query grid and 1x1-conv back to 1024 (`:276-278`).
+
+Layout: feature maps are NHWC; token sequences [N, T, C].
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ait_tpu.models.attention import MultiHeadAttention, PositionwiseFeedForward
+from ait_tpu.models.layers import sinusoid_table, xavier_uniform
+
+Dtype = Any
+
+
+class EncoderLayer(nn.Module):
+    d_model: int
+    d_inner: int
+    n_head: int
+    d_k: int
+    d_v: int
+    dropout: float
+    dist: str
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, *, deterministic=True):
+        x, _ = MultiHeadAttention(
+            self.n_head, self.d_model, self.d_k, self.d_v, self.dropout,
+            self.dist, self.dtype, name="slf_attn")(
+                x, x, x, mask, deterministic=deterministic)
+        return PositionwiseFeedForward(
+            self.d_model, self.d_inner, self.dropout, self.dtype,
+            name="pos_ffn")(x, deterministic=deterministic)
+
+
+class DecoderLayer(nn.Module):
+    d_model: int
+    d_inner: int
+    n_head: int
+    d_k: int
+    d_v: int
+    dropout: float
+    dist: str
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, enc_out, slf_mask, cross_mask, *, deterministic=True):
+        x, _ = MultiHeadAttention(
+            self.n_head, self.d_model, self.d_k, self.d_v, self.dropout,
+            self.dist, self.dtype, name="slf_attn")(
+                x, x, x, slf_mask, deterministic=deterministic)
+        x, _ = MultiHeadAttention(
+            self.n_head, self.d_model, self.d_k, self.d_v, self.dropout,
+            self.dist, self.dtype, name="enc_attn")(
+                x, enc_out, enc_out, cross_mask, deterministic=deterministic)
+        return PositionwiseFeedForward(
+            self.d_model, self.d_inner, self.dropout, self.dtype,
+            name="pos_ffn")(x, deterministic=deterministic)
+
+
+class AITTransformer(nn.Module):
+    """[BP, hp, wp, C] proposals x [B, hq, wq, C] query -> [BP, hq, wq, C]."""
+
+    d_word_vec: int = 512
+    d_model: int = 512
+    d_inner: int = 2048
+    n_layers: int = 1
+    n_head: int = 8
+    d_k: int = 64
+    d_v: int = 64
+    n_position: int = 64
+    dropout: float = 0.1
+    causal_mask: bool = True
+    dist: str = "softmax"
+    channels: int = 1024  # in/out feature channels (d_word_vec * 2)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_props, x_query, *, deterministic: bool = True):
+        bp, hp, wp, _ = x_props.shape
+        bs, hq, wq, _ = x_query.shape
+        num_props = bp // bs
+        d = self.d_word_vec
+
+        xavier = xavier_uniform()
+        x_props = nn.Conv(d, (1, 1), dtype=self.dtype, kernel_init=xavier,
+                          name="enc_emb")(x_props)
+        x_query = nn.Conv(d, (1, 1), dtype=self.dtype, kernel_init=xavier,
+                          name="dec_emb")(x_query)
+
+        src = x_props.reshape(bp, hp * wp, d)
+        trg = jnp.repeat(x_query.reshape(bs, hq * wq, d), num_props, axis=0)
+
+        n_s, n_t = src.shape[1], trg.shape[1]
+        # zero-pad proposal tokens to the query length (Models.py:269-270)
+        src = jnp.pad(src, ((0, 0), (0, n_t - n_s), (0, 0)))
+        src_mask = (jnp.arange(n_t) < n_s)[None, None, :]      # [1, 1, T]
+        if self.causal_mask:
+            trg_mask = jnp.tril(jnp.ones((n_t, n_t), bool))[None]
+        else:
+            trg_mask = jnp.ones((1, n_t, n_t), bool)
+
+        pos = sinusoid_table(self.n_position, d)[None].astype(src.dtype)
+
+        drop = nn.Dropout(self.dropout, deterministic=deterministic)
+        enc = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                           name="enc_in_ln")(drop(src + pos[:, :n_t]))
+        for i in range(self.n_layers):
+            enc = EncoderLayer(
+                self.d_model, self.d_inner, self.n_head, self.d_k, self.d_v,
+                self.dropout, self.dist, self.dtype, name=f"enc_layer{i}")(
+                    enc, src_mask, deterministic=deterministic)
+
+        dec = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                           name="dec_in_ln")(drop(trg + pos[:, :n_t]))
+        for i in range(self.n_layers):
+            dec = DecoderLayer(
+                self.d_model, self.d_inner, self.n_head, self.d_k, self.d_v,
+                self.dropout, self.dist, self.dtype, name=f"dec_layer{i}")(
+                    dec, enc, trg_mask, src_mask, deterministic=deterministic)
+
+        out = dec.reshape(bp, hq, wq, d)
+        out = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                      kernel_init=xavier, name="dec_trans")(out)
+        return out

@@ -1,0 +1,102 @@
+"""Shared building blocks: frozen BN, ceil-mode maxpool, init helpers.
+
+NHWC layout throughout (TPU-native); the reference is NCHW torch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from jax import lax
+
+Dtype = Any
+
+normal_init = nn.initializers.normal
+zeros_init = nn.initializers.zeros
+xavier_uniform = nn.initializers.xavier_uniform
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm that is a constant affine transform.
+
+    The reference freezes every BN's params *and* running stats for the whole
+    of training (`set_bn_fix`/`set_bn_eval`, resnet_sys_transformer_sk_dilat.py
+    :435-441,474-480), so on TPU it is just `x*w + b` with folded constants.
+    The four arrays live in params for checkpoint-conversion parity but are
+    masked out of the optimizer (see train/optim.py).
+    """
+
+    features: int
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", zeros_init, (self.features,))
+        mean = self.param("mean", zeros_init, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        w = scale * lax.rsqrt(var + self.eps)
+        b = bias - mean * w
+        return x * w.astype(x.dtype) + b.astype(x.dtype)
+
+
+def max_pool_ceil(x, window: int, stride: int):
+    """Max pool with padding=0 and ceil_mode=True.
+
+    Matches the reference backbone's deviation from stock torchvision
+    (resnet_sys_transformer_sk_dilat.py:120: MaxPool2d(3, 2, padding=0,
+    ceil_mode=True)).  Ceil mode is realised by right/bottom -inf padding.
+    """
+    h, w = x.shape[1], x.shape[2]
+
+    def ceil_pad(size):
+        out = -(-(size - window) // stride) + 1
+        return max((out - 1) * stride + window - size, 0)
+
+    pads = ((0, 0), (0, ceil_pad(h)), (0, ceil_pad(w)), (0, 0))
+    return lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        lax.max,
+        (1, window, window, 1),
+        (1, stride, stride, 1),
+        pads,
+    )
+
+
+def sinusoid_table(n_position: int, d_hid: int) -> jnp.ndarray:
+    """Sinusoidal positions [n_position, d_hid] (system/Models.py:34-45)."""
+    import numpy as np
+
+    pos = np.arange(n_position)[:, None]
+    dim = np.arange(d_hid)[None, :]
+    angle = pos / np.power(10000.0, 2 * (dim // 2) / d_hid)
+    table = np.zeros((n_position, d_hid), np.float32)
+    table[:, 0::2] = np.sin(angle[:, 0::2])
+    table[:, 1::2] = np.cos(angle[:, 1::2])
+    return jnp.asarray(table)
+
+
+class ZeroInitGroupNorm(nn.Module):
+    """GroupNorm whose affine starts at zero.
+
+    Used by the non-local co-attention's omega/theta output projections so the
+    residual branch starts as identity (blocks_coatt_transformer_sk.py:50-58).
+    """
+
+    num_groups: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        gn = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.eps,
+            scale_init=zeros_init,
+            bias_init=zeros_init,
+        )
+        return gn(x)

@@ -116,26 +116,32 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold,
 
 def batched_nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray,
                      iou_threshold, pre_topk: int, post_topk: int,
-                     tile: int = 256):
+                     tile: int = 256, valid=None):
     """The proposal-layer NMS: per-image top-k -> greedy NMS -> top-k of kept.
 
-    boxes: [B, N, 4], scores: [B, N].
+    boxes: [B, N, 4], scores: [B, N]; valid: optional [B, N] bool marking real
+    candidates (False rows can never be kept — used for anchors on the padded
+    part of a static canvas, which don't exist in the reference at all).
     Returns (boxes [B, post, 4], scores [B, post], valid [B, post]); padded
     rows are zero boxes with zero score — exactly the reference's zero-padded
     output convention (proposal_layer.py:131,161-164).
     """
     n = boxes.shape[1]
     k = min(pre_topk, n)
+    if valid is None:
+        valid = jnp.ones(scores.shape, bool)
+    scores = jnp.where(valid, scores, NEG_INF)
 
-    def one(bx, sc):
+    def one(bx, sc, va):
         top_sc, order = lax.top_k(sc, k)
         sb = bx[order]
-        keep = nms_keep_mask(sb, jnp.ones(k, bool), iou_threshold, tile)
+        keep = nms_keep_mask(sb, va[order], iou_threshold, tile)
         rank = jnp.where(keep, jnp.arange(k), k)
         sel = jnp.argsort(rank)[:post_topk]
-        valid = jnp.arange(post_topk) < jnp.minimum(jnp.sum(keep), post_topk)
-        out_b = jnp.where(valid[:, None], sb[sel], 0.0)
-        out_s = jnp.where(valid, top_sc[sel], 0.0)
-        return out_b, out_s, valid
+        out_valid = jnp.arange(post_topk) < jnp.minimum(jnp.sum(keep),
+                                                       post_topk)
+        out_b = jnp.where(out_valid[:, None], sb[sel], 0.0)
+        out_s = jnp.where(out_valid, top_sc[sel], 0.0)
+        return out_b, out_s, out_valid
 
-    return jax.vmap(one)(boxes, scores)
+    return jax.vmap(one)(boxes, scores, valid)
