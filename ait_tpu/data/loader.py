@@ -1,0 +1,208 @@
+"""Host-side batch pipeline producing fixed-shape device-ready arrays.
+
+Re-design of the reference's torch DataLoader stack (roibatchLoader.py +
+minibatch.py + the custom whole-batch-permutation sampler,
+trainval_net_voc.py:153-176):
+
+  * the per-batch dynamic aspect-ratio canvas (roibatchLoader.py:51-69,
+    139-253: crop/pad every batch to its own target ratio) becomes ONE static
+    canvas (cfg.tpu.image_size): shortest side scaled to TRAIN.SCALES[0],
+    capped to fit, placed top-left on zeros.  One canvas = one compiled
+    program; `im_info` carries the true extent so anchors/clipping see the
+    real image, not the padding;
+  * query-class choice ~ inverse class frequency (roibatchLoader.py:111-123),
+    gt relabeled to binary same-class=1/else 0 (`:126`), gt rows shuffled and
+    zero-padded to MAX_NUM_GT_BOXES (`:140,264-270`);
+  * eval iterates (image x present-class) pairs (test_rank_roidb_ratio,
+    roidb.py:91-128) with the reference's EXACT deterministic query-shot
+    selection: `random.seed(img_id)`, shuffle, pick `query_position`-th
+    (roibatchLoader.py:299-307) — needed for shot-averaged AP parity;
+  * a background thread + worker pool replaces the 8 DataLoader worker
+    processes; batches land as ready numpy arrays for one device_put.
+"""
+
+from __future__ import annotations
+
+import random as pyrandom
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import imageio.v2 as imageio
+import numpy as np
+
+from ait_tpu.config import Config
+from ait_tpu.data.records import DatasetView
+from ait_tpu.data.transforms import (crop_query, normalize, place_on_canvas,
+                                     prep_image, to_rgb3)
+
+
+def _read(path: str) -> np.ndarray:
+    return to_rgb3(np.asarray(imageio.imread(path)))
+
+
+class OneShotLoader:
+    """Train/eval batch producer for one dataset view."""
+
+    def __init__(self, view: DatasetView, cfg: Config, *, training: bool,
+                 seed: Optional[int] = None):
+        self.view = view
+        self.cfg = cfg
+        self.training = training
+        self.canvas = cfg.tpu.image_size
+        self.query_size = cfg.TRAIN.query_size
+        self.max_gt = cfg.MAX_NUM_GT_BOXES
+        self.rng = np.random.RandomState(
+            cfg.RNG_SEED if seed is None else seed)
+        self.query_position = 0
+
+        if training:
+            if cfg.TRAIN.USE_FLIPPED:
+                view.append_flipped()
+            view.filter_boxless()
+            self.freq = view.class_frequencies()
+            self.pairs: List[Tuple[int, int]] = []
+        else:
+            aset = set(view.allowed_classes)
+            self.pairs = [
+                (i, int(c))
+                for i, r in enumerate(view.records)
+                for c in np.unique(r.gt_classes) if int(c) in aset
+            ]
+            self.freq = {}
+
+    # ------------------------------------------------------------------
+    def __len__(self):
+        return len(self.view.records) if self.training else len(self.pairs)
+
+    def _prep_image(self, rec):
+        im = _read(rec.image_path)
+        if rec.flipped:
+            im = im[:, ::-1, :]
+        scales = (self.cfg.TRAIN.SCALES if self.training
+                  else self.cfg.TEST.SCALES)
+        im, scale = prep_image(im, scales[0], max_hw=self.canvas)
+        h, w = im.shape[:2]
+        return place_on_canvas(im, self.canvas), h, w, scale
+
+    def _prep_query(self, exemplar, flip: bool) -> np.ndarray:
+        im = _read(exemplar.image_path)
+        q = crop_query(im, exemplar.box, self.query_size)
+        if flip:
+            q = q[:, ::-1, :]
+        return normalize(q)
+
+    # ------------------------------------------------------------------
+    def train_item(self, index: int) -> Dict[str, np.ndarray]:
+        rec = self.view.records[index]
+        aset = set(self.view.allowed_classes)
+        keep = np.array([int(c) in aset for c in rec.gt_classes], bool)
+        boxes = rec.boxes[keep].astype(np.float32)
+        classes = rec.gt_classes[keep]
+
+        cand = np.unique(classes)
+        if len(cand) == 1:
+            choice = int(cand[0])
+        else:
+            p = np.array([self.freq[int(c)] for c in cand])
+            choice = int(self.rng.choice(cand, 1, p=p / p.sum())[0])
+
+        labels = (classes == choice).astype(np.float32)
+        exemplar = self.view.cat_data[choice][
+            self.rng.randint(len(self.view.cat_data[choice]))]
+        query = self._prep_query(exemplar, flip=self.rng.rand() > 0.5)
+
+        image, h, w, scale = self._prep_image(rec)
+        gt = np.concatenate([boxes * scale, labels[:, None]], axis=1)
+        # drop degenerate boxes (roibatchLoader.py:257-262)
+        ok = (gt[:, 0] != gt[:, 2]) & (gt[:, 1] != gt[:, 3])
+        gt = gt[ok]
+        self.rng.shuffle(gt)
+        n = min(len(gt), self.max_gt)
+        gt_pad = np.zeros((self.max_gt, 5), np.float32)
+        gt_pad[:n] = gt[:n]
+        return {
+            "image": image,
+            "query": query,
+            "im_info": np.array([h, w, scale], np.float32),
+            "gt_boxes": gt_pad,
+            "num_boxes": np.int32(n),
+        }
+
+    def test_item(self, pair_index: int) -> Dict[str, np.ndarray]:
+        rec_idx, cls = self.pairs[pair_index]
+        rec = self.view.records[rec_idx]
+        pool = self.view.cat_data[cls]
+        # the reference's seed-by-img-id deterministic shot selection
+        pyrandom.seed(rec.img_id)
+        order = list(range(len(pool)))
+        pyrandom.shuffle(order)
+        exemplar = pool[order[self.query_position % len(order)]]
+        query = self._prep_query(exemplar, flip=False)
+
+        image, h, w, scale = self._prep_image(rec)
+        return {
+            "image": image,
+            "query": query,
+            "im_info": np.array([h, w, scale], np.float32),
+            "gt_boxes": np.zeros((self.max_gt, 5), np.float32),
+            "num_boxes": np.int32(0),
+            "pair_index": np.int32(pair_index),
+            "record_index": np.int32(rec_idx),
+            "category": np.int32(cls),
+        }
+
+    # ------------------------------------------------------------------
+    def _collate(self, items: List[Dict[str, np.ndarray]]):
+        return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+    def train_epoch(self, batch_size: int, *, num_workers: int = 8,
+                    prefetch: int = 4) -> Iterator[Dict[str, np.ndarray]]:
+        """Shuffled fixed-size batches; the tail wraps around (the reference
+        sampler's leftover handling, trainval_net_voc.py:160-162)."""
+        order = self.rng.permutation(len(self)).tolist()
+        pad = (-len(order)) % batch_size
+        order = order + order[:pad]
+        batches = [order[i:i + batch_size]
+                   for i in range(0, len(order), batch_size)]
+        yield from self._pipeline(batches, self.train_item, num_workers,
+                                  prefetch)
+
+    def test_epoch(self, batch_size: int, *, num_workers: int = 8,
+                   prefetch: int = 4) -> Iterator[Dict[str, np.ndarray]]:
+        """All (image, class) pairs in order; tail padded by repeating the
+        last pair (consumers dedupe via 'pair_index')."""
+        order = list(range(len(self.pairs)))
+        pad = (-len(order)) % batch_size
+        order = order + [order[-1]] * pad if order else order
+        batches = [order[i:i + batch_size]
+                   for i in range(0, len(order), batch_size)]
+        yield from self._pipeline(batches, self.test_item, num_workers,
+                                  prefetch)
+
+    def _pipeline(self, batches, item_fn, num_workers, prefetch):
+        if not batches:
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(num_workers) as pool:
+                for idxs in batches:
+                    if stop.is_set():
+                        break
+                    items = list(pool.map(item_fn, idxs))
+                    q.put(self._collate(items))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()

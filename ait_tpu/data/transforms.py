@@ -1,0 +1,79 @@
+"""Host-side image preparation, pinned to the reference's blob helpers.
+
+* `prep_image` — /255, torchvision mean/std normalize (the reference hardcodes
+  these and ignores its own `cfg.PIXEL_MEANS` argument, blob.py:42-48), then
+  shortest-side scale to `target_size` with NO max-size clamp (blob.py:56-58
+  commented out), cv2 INTER_LINEAR.
+* `crop_query` — cut the query box, center-pad to square, resize to
+  query_size x query_size (blob.py:65-99).
+* `place_on_canvas` — the TPU static-shape addition: after scaling, images are
+  placed top-left on a fixed zero canvas; if the scaled image would overflow
+  the canvas the scale is reduced to fit.  The reference instead pads each
+  *batch* to its own max shape (im_list_to_blob, blob.py:20-32) which yields a
+  different shape per batch — incompatible with one compiled program.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import cv2
+import numpy as np
+
+TORCHVISION_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+TORCHVISION_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def to_rgb3(im: np.ndarray) -> np.ndarray:
+    if im.ndim == 2:
+        im = np.repeat(im[:, :, None], 3, axis=2)
+    if im.shape[2] == 4:  # RGBA
+        im = im[:, :, :3]
+    return im
+
+
+def normalize(im: np.ndarray) -> np.ndarray:
+    im = im.astype(np.float32) / 255.0
+    return (im - TORCHVISION_MEAN) / TORCHVISION_STD
+
+
+def prep_image(im: np.ndarray, target_size: int,
+               max_hw: Tuple[int, int] | None = None
+               ) -> Tuple[np.ndarray, float]:
+    """Normalize + shortest-side scale (optionally capped to fit max_hw)."""
+    im = normalize(to_rgb3(im))
+    h, w = im.shape[:2]
+    scale = float(target_size) / min(h, w)
+    if max_hw is not None:
+        scale = min(scale, max_hw[0] / h, max_hw[1] / w)
+    im = cv2.resize(im, None, None, fx=scale, fy=scale,
+                    interpolation=cv2.INTER_LINEAR)
+    return im, scale
+
+
+def crop_query(image: np.ndarray, box, query_size: int) -> np.ndarray:
+    """Cut `box` (x1,y1,x2,y2), center-pad square, resize (blob.py:65-99)."""
+    image = to_rgb3(image)
+    cut = image[int(box[1]):int(box[3]), int(box[0]):int(box[2]), :]
+    h, w = cut.shape[:2]
+    if h == 0 or w == 0:
+        cut = np.zeros((1, 1, 3), image.dtype)
+        h = w = 1
+    m = max(h, w)
+    cty, ctx = h // 2, w // 2
+    sq = np.zeros((m, m, 3), cut.dtype)
+    x0, x1 = max(0, ctx - m // 2), min(ctx + m // 2, w)
+    y0, y1 = max(0, cty - m // 2), min(cty + m // 2, h)
+    ys = slice(m // 2 - (cty - y0), m // 2 + (y1 - cty))
+    xs = slice(m // 2 - (ctx - x0), m // 2 + (x1 - ctx))
+    sq[ys, xs, :] = cut[y0:y1, x0:x1, :]
+    return cv2.resize(sq, (query_size, query_size),
+                      interpolation=cv2.INTER_LINEAR)
+
+
+def place_on_canvas(im: np.ndarray, canvas_hw: Tuple[int, int]) -> np.ndarray:
+    out = np.zeros((canvas_hw[0], canvas_hw[1], 3), np.float32)
+    h = min(im.shape[0], canvas_hw[0])
+    w = min(im.shape[1], canvas_hw[1])
+    out[:h, :w, :] = im[:h, :w, :]
+    return out

@@ -137,11 +137,14 @@ def batched_nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray,
         sb = bx[order]
         keep = nms_keep_mask(sb, va[order], iou_threshold, tile)
         rank = jnp.where(keep, jnp.arange(k), k)
-        sel = jnp.argsort(rank)[:post_topk]
+        p = min(post_topk, k)
+        sel = jnp.argsort(rank)[:p]
         out_valid = jnp.arange(post_topk) < jnp.minimum(jnp.sum(keep),
                                                        post_topk)
-        out_b = jnp.where(out_valid[:, None], sb[sel], 0.0)
-        out_s = jnp.where(out_valid, top_sc[sel], 0.0)
+        out_b = jnp.zeros((post_topk, 4), boxes.dtype).at[:p].set(sb[sel])
+        out_s = jnp.zeros((post_topk,), scores.dtype).at[:p].set(top_sc[sel])
+        out_b = jnp.where(out_valid[:, None], out_b, 0.0)
+        out_s = jnp.where(out_valid, out_s, 0.0)
         return out_b, out_s, out_valid
 
     return jax.vmap(one)(boxes, scores, valid)

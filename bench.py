@@ -1,0 +1,67 @@
+"""Headline benchmark: query-target pairs/sec/chip, full training step.
+
+One JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline derivation (BASELINE.md / SURVEY.md §6): the reference's own code
+comments record a ~1.088s *forward-only* training step at bs=8 over 4 GPUs
+(trainval_net_voc.py:373, faster_rcnn_sys_transformer_sk_dilat.py:198), i.e.
+8 pairs / 1.088s / 4 chips = 1.84 pairs/sec/chip forward-only.  We charge
+ourselves the FULL step (forward + backward + optimizer) against the
+reference's forward-only number, so vs_baseline is conservative.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_PAIRS_PER_SEC_PER_CHIP = 8 / 1.088 / 4  # forward-only, see above
+
+BATCH = 8
+WARMUP = 2
+ITERS = 10
+
+
+def main():
+    from __graft_entry__ import _batch, _flagship, _init_params
+    from ait_tpu.train import (TrainState, lr_schedule, make_optimizer,
+                               make_train_step)
+
+    cfg, model = _flagship()
+    h, w = cfg.tpu.image_size
+    batch = _batch(BATCH, h, w, g=cfg.MAX_NUM_GT_BOXES)
+    params = _init_params(model, _batch(1, 160, 160))
+    tx = make_optimizer(cfg, lr_schedule(0.01, 100, 4, 0.1))
+    state = TrainState.create(params, tx)
+    dev = jax.devices()[0]
+    state = jax.device_put(state, dev)
+    batch = jax.device_put(batch, dev)
+
+    step = jax.jit(make_train_step(model, tx), donate_argnums=0)
+    rng = jax.random.PRNGKey(0)
+
+    for _ in range(WARMUP):
+        state, metrics = step(state, batch, rng)
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, metrics = step(state, batch, rng)
+    jax.block_until_ready(metrics)
+    dt = (time.perf_counter() - t0) / ITERS
+
+    pairs_per_sec = BATCH / dt
+    print(json.dumps({
+        "metric": "query-target pairs/sec/chip (R50 VOC, full train step)",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/sec/chip",
+        "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC_PER_CHIP,
+                             2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
