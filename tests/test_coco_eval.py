@@ -1,0 +1,190 @@
+"""Golden test: our COCO bbox evaluator vs the reference's vendored
+pycocotools COCOeval on a synthetic dataset.
+
+The vendored package needs its Cython `_mask` module only for segmentation;
+we inject a numpy bbox-IoU stub for `pycocotools.mask` so the reference
+evaluator runs as-is, then require our precision/recall tensors to match to
+float tolerance, including the customCOCOeval class_index restriction.
+"""
+
+import json
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from ait_tpu.evaluation.coco_eval import (COCODetEval, bbox_iou_xywh,
+                                          dets_to_coco_results, greedy_match)
+from ait_tpu.data.coco import COCOGt
+
+
+def _stub_iou(dt, gt, iscrowd):
+    dt = np.asarray(dt, np.float64).reshape(-1, 4)
+    gt = np.asarray(gt, np.float64).reshape(-1, 4)
+    if len(dt) == 0 or len(gt) == 0:
+        return []  # the real C impl returns [] on empty input
+    iscrowd = np.asarray(iscrowd, np.uint8)
+    # independent numpy formula (also cross-checks the native kernel)
+    ix1 = np.maximum(dt[:, None, 0], gt[None, :, 0])
+    iy1 = np.maximum(dt[:, None, 1], gt[None, :, 1])
+    ix2 = np.minimum(dt[:, None, 0] + dt[:, None, 2],
+                     gt[None, :, 0] + gt[None, :, 2])
+    iy2 = np.minimum(dt[:, None, 1] + dt[:, None, 3],
+                     gt[None, :, 1] + gt[None, :, 3])
+    inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+    da = (dt[:, 2] * dt[:, 3])[:, None]
+    ga = (gt[:, 2] * gt[:, 3])[None, :]
+    union = np.where(iscrowd[None, :].astype(bool), da, da + ga - inter)
+    return np.where(union > 0, inter / np.maximum(union, 1e-300), 0.0)
+
+
+@pytest.fixture(scope="module")
+def ref_cocoeval():
+    """Import the vendored reference COCOeval with stubbed deps."""
+    mask_stub = types.ModuleType("pycocotools.mask")
+    mask_stub.iou = _stub_iou
+    mask_stub.area = lambda r: 0.0
+    mask_stub.frPyObjects = lambda *a: None
+
+    pkg = types.ModuleType("pycocotools")
+    pkg.__path__ = ["/root/reference/lib/pycocotools"]
+    utils_stub = types.ModuleType("lib.ops.utils")
+    utils_stub.printer = lambda *a, **k: None
+    utils_stub.color = lambda *a, **k: ""
+    lib_stub = types.ModuleType("lib")
+    ops_stub = types.ModuleType("lib.ops")
+    sys.modules.setdefault("lib", lib_stub)
+    sys.modules.setdefault("lib.ops", ops_stub)
+    sys.modules["lib.ops.utils"] = utils_stub
+    sys.modules["pycocotools"] = pkg
+    sys.modules["pycocotools.mask"] = mask_stub
+    # the vendored modules run `stty size` at import, which needs a tty
+    import io
+    import os as _os
+    real_popen = _os.popen
+    _os.popen = lambda *a, **k: io.StringIO("24 80")
+    try:
+        import pycocotools.coco as ref_coco
+        import pycocotools.cocoeval as ref_eval
+    finally:
+        _os.popen = real_popen
+    return ref_coco, ref_eval
+
+
+def make_dataset(tmp_path, seed=0):
+    rng = np.random.RandomState(seed)
+    cat_ids = [1, 2, 3, 5, 7, 9]
+    images, anns = [], []
+    aid = 1
+    for img_id in range(1, 9):
+        w, h = int(rng.randint(200, 400)), int(rng.randint(150, 300))
+        images.append({"id": img_id, "width": w, "height": h,
+                       "file_name": f"{img_id:012d}.jpg"})
+        for _ in range(rng.randint(1, 6)):
+            cat = int(rng.choice(cat_ids))
+            bw = float(rng.uniform(8, 150))
+            bh = float(rng.uniform(8, 150))
+            x = float(rng.uniform(0, w - bw))
+            y = float(rng.uniform(0, h - bh))
+            anns.append({"id": aid, "image_id": img_id, "category_id": cat,
+                         "bbox": [x, y, bw, bh], "area": bw * bh,
+                         "iscrowd": int(rng.rand() < 0.15)})
+            aid += 1
+    doc = {"images": images, "annotations": anns,
+           "categories": [{"id": c, "name": f"cat{c}"} for c in cat_ids]}
+    path = tmp_path / "instances_test.json"
+    path.write_text(json.dumps(doc))
+
+    dets = []
+    for img_id in range(1, 9):
+        im = images[img_id - 1]
+        for _ in range(rng.randint(3, 15)):
+            cat = int(rng.choice(cat_ids))
+            bw = float(rng.uniform(8, 150))
+            bh = float(rng.uniform(8, 150))
+            x = float(rng.uniform(0, im["width"] - bw))
+            y = float(rng.uniform(0, im["height"] - bh))
+            dets.append({"image_id": img_id, "category_id": cat,
+                         "bbox": [x, y, bw, bh],
+                         "score": float(rng.rand())})
+    # jittered copies of gt so there are real matches
+    for ann in anns:
+        if rng.rand() < 0.6:
+            x, y, bw, bh = ann["bbox"]
+            dets.append({
+                "image_id": ann["image_id"],
+                "category_id": ann["category_id"],
+                "bbox": [x + rng.uniform(-4, 4), y + rng.uniform(-4, 4),
+                         bw * rng.uniform(0.85, 1.15),
+                         bh * rng.uniform(0.85, 1.15)],
+                "score": float(rng.rand())})
+    return path, dets, cat_ids
+
+
+def test_iou_native_matches_numpy():
+    rng = np.random.RandomState(1)
+    dt = rng.rand(20, 4) * 50
+    gt = rng.rand(10, 4) * 50
+    crowd = (rng.rand(10) < 0.3).astype(np.uint8)
+    np.testing.assert_allclose(bbox_iou_xywh(dt, gt, crowd),
+                               _stub_iou(dt, gt, crowd), rtol=1e-12)
+
+
+def test_cocoeval_matches_reference(tmp_path, ref_cocoeval):
+    ref_coco_mod, ref_eval_mod = ref_cocoeval
+    ann_file, dets, cat_ids = make_dataset(tmp_path)
+
+    # ours
+    gt = COCOGt(str(ann_file))
+    ev = COCODetEval(gt, dets)
+    ev.evaluate()
+    ev.accumulate()
+    stats = ev.summarize(verbose=False)
+
+    # reference
+    coco = ref_coco_mod.COCO(str(ann_file))
+    coco_dt = coco.onlineRes([dict(d) for d in dets])
+    ref = ref_eval_mod.COCOeval(coco, coco_dt, iouType="bbox")
+    ref.params.imgIds = sorted(coco.getImgIds())
+    ref.evaluate()
+    ref.accumulate()
+
+    np.testing.assert_allclose(ev.eval["precision"],
+                               ref.eval["precision"], atol=1e-10)
+    np.testing.assert_allclose(ev.eval["recall"], ref.eval["recall"],
+                               atol=1e-10)
+    assert np.isfinite(stats).all()
+
+    # class-restricted summary (customCOCOeval, datasets/coco.py:485-498)
+    class_index = [0, 2, 4]
+    ours_ap50 = ev._summary_value(1, 0.5, "all", 100, class_index)
+    s = ref.eval["precision"][[np.where(ev.iouThrs == 0.5)[0][0]]]
+    s = s[:, :, class_index, 0, 2]
+    ref_ap50 = np.mean(s[s > -1])
+    assert abs(ours_ap50 - ref_ap50) < 1e-10
+
+
+def test_dets_to_coco_results_roundtrip():
+    all_boxes = {1: {0: np.array([[10.0, 20.0, 40.0, 70.0, 0.9]])}}
+    res = dets_to_coco_results(all_boxes, {0: 42}, {1: 7})
+    assert res == [{"image_id": 42, "category_id": 7,
+                    "bbox": [10.0, 20.0, 31.0, 51.0], "score": 0.9}]
+
+
+def test_greedy_match_native_matches_python(monkeypatch):
+    from ait_tpu import native
+    rng = np.random.RandomState(2)
+    ious = rng.rand(15, 6)
+    gt_ig = (rng.rand(6) < 0.3).astype(np.uint8)
+    # sort ignore-last as the evaluator does
+    order = np.argsort(gt_ig, kind="mergesort")
+    ious, gt_ig = ious[:, order], gt_ig[order]
+    crowd = (rng.rand(6) < 0.3).astype(np.uint8)
+    thrs = np.linspace(0.5, 0.95, 10)
+    n_dtm, n_ig = greedy_match(ious, gt_ig, crowd, thrs)
+    monkeypatch.setattr(native, "available", lambda: False)
+    p_dtm, p_ig = greedy_match(ious, gt_ig, crowd, thrs)
+    np.testing.assert_array_equal(n_dtm, p_dtm)
+    np.testing.assert_array_equal(np.asarray(n_ig, bool),
+                                  np.asarray(p_ig, bool))
