@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""One-shot detection evaluation CLI.
+
+Unifies the reference's `test_net_voc.py` / `test_net_coco.py`: iterate the
+(image x class) pair list `--a N` times with a different deterministic query
+shot per pass (`dataset.query_position = avg`, test_net_voc.py:320-322),
+cache detections per pass, evaluate each pass (VOC AP table or COCO
+class-restricted AP).
+
+TPU redesign: the reference runs bs=1 with host-side per-image postprocess;
+here inference AND postprocess (decode, clip, rescale, NMS, top-100) run as
+one batched jit — the host only assembles `all_boxes`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import pickle
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# honor AIT_PLATFORM even where sitecustomize pins jax_platforms (axon)
+if os.environ.get("AIT_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["AIT_PLATFORM"])
+
+import jax.numpy as jnp
+import numpy as np
+
+from ait_tpu.config import Config
+from ait_tpu.data import OneShotLoader
+from ait_tpu.data import coco as coco_data
+from ait_tpu.data import voc as voc_data
+from ait_tpu.evaluation import evaluate_voc, postprocess_detections
+from ait_tpu.evaluation.coco_eval import COCODetEval, dets_to_coco_results
+from ait_tpu.models import AITDetector
+from ait_tpu.train import init_params, make_eval_step
+from ait_tpu.train.checkpoint import CheckpointManager
+from ait_tpu.utils import printer
+
+from trainval_net import build_config  # shared dataset/cfg dispatch
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Evaluate the one-shot detector")
+    p.add_argument("--dataset", default="pascal_voc_0712",
+                   choices=["pascal_voc", "pascal_voc_0712", "coco"])
+    p.add_argument("--net", default="res50",
+                   choices=["res50", "res101", "vgg16"])
+    p.add_argument("--save_dir", default="models")
+    p.add_argument("--data_dir", default="data")
+    p.add_argument("--nw", dest="num_workers", type=int, default=8)
+    p.add_argument("--g", dest="group", type=int, default=0)
+    p.add_argument("--seen", type=int, default=2)
+    p.add_argument("--a", dest="average", type=int, default=1,
+                   help="number of query shots to average over")
+    p.add_argument("--bs", dest="batch_size", type=int, default=8,
+                   help="eval batch size (the reference is fixed at 1)")
+    p.add_argument("--session", dest="checksession", type=int, default=1)
+    p.add_argument("--checkpoint_path", default=None,
+                   help="explicit orbax checkpoint dir (else derived from "
+                        "save_dir/net/dataset/version)")
+    p.add_argument("--version", default="1.0.0")
+    p.add_argument("--ls", dest="large_scale", action="store_true")
+    p.add_argument("--cag", dest="class_agnostic", default=True)
+    p.add_argument("--with_cache_file", action="store_true",
+                   help="reuse cached detections instead of re-running")
+    p.add_argument("--output_dir", default="output")
+    p.add_argument("--debug", action="store_true",
+                   help="truncate to 10 pairs")
+    p.add_argument("--set", dest="set_cfgs", nargs="*", default=[])
+    return p.parse_args(argv)
+
+
+def build_view(args, cfg):
+    cache = os.path.join(args.data_dir, "cache")
+    if args.dataset == "coco":
+        view = coco_data.load_coco(os.path.join(args.data_dir, "coco"),
+                                   "2017", "val", cache_dir=None)
+        return coco_data.filter_seen(view, args.seen,
+                                     cfg.test_categories[0])
+    devkit = os.path.join(args.data_dir, "VOCdevkit2007")
+    v = voc_data.load_voc(devkit, "2007", "test", cache_dir=cache)
+    return voc_data.filter_seen(v, args.seen)
+
+
+def run_pass(loader, eval_step, post, params, args, allowed):
+    """One query-shot pass -> all_boxes[class][record_index]."""
+    all_boxes = {ci: {} for ci in allowed}
+    done = set()
+    t0 = time.time()
+    n_pairs = len(loader.pairs)
+    for batch in loader.test_epoch(args.batch_size,
+                                   num_workers=args.num_workers):
+        dev = {k: jnp.asarray(v) for k, v in batch.items()
+               if k in ("image", "query", "im_info", "gt_boxes",
+                        "num_boxes")}
+        out = eval_step(params, dev)
+        dets, valid = post(out["rois"], out["cls_prob"], out["bbox_pred"],
+                           jnp.asarray(batch["im_info"]))
+        dets = np.asarray(dets)
+        valid = np.asarray(valid)
+        for i in range(len(batch["pair_index"])):
+            pi = int(batch["pair_index"][i])
+            if pi in done:
+                continue
+            done.add(pi)
+            ci = int(batch["category"][i])
+            ri = int(batch["record_index"][i])
+            all_boxes[ci][ri] = dets[i][valid[i]]
+        if len(done) % (50 * args.batch_size) < args.batch_size:
+            rate = len(done) / max(time.time() - t0, 1e-9)
+            printer(f"  {len(done)}/{n_pairs} pairs ",
+                    f"({rate:.1f} pairs/s)")
+        if args.debug and len(done) >= 10:
+            break
+    return all_boxes
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = build_config(args)
+    view = build_view(args, cfg)
+    printer(f"{len(view.records)} eval images, "
+            f"{len(view.allowed_classes)} classes under test")
+
+    model = AITDetector(cfg, dtype=jnp.bfloat16)
+    params = init_params(model, cfg, jax.random.PRNGKey(cfg.RNG_SEED))
+    ckpt_dir = args.checkpoint_path or os.path.join(
+        args.save_dir, args.net, args.dataset, args.version, "ckpt")
+    if os.path.isdir(ckpt_dir):
+        from ait_tpu.train import TrainState, lr_schedule, make_optimizer
+        tx = make_optimizer(cfg, lr_schedule(0.01, 100, 4, 0.1))
+        template = TrainState.create(params, tx)
+        mgr = CheckpointManager(ckpt_dir)
+        restored = mgr.restore(template)
+        if restored is not None:
+            params = restored.params
+            printer(f"Loaded checkpoint step {mgr.latest_step()} from ",
+                    ckpt_dir)
+        else:
+            printer("WARNING: no checkpoint found, evaluating random init",
+                    c="yellow")
+    else:
+        printer("WARNING: no checkpoint dir, evaluating random init",
+                c="yellow")
+
+    eval_step = jax.jit(make_eval_step(model))
+    post = jax.jit(lambda r, c, b, ii: postprocess_detections(
+        r, c, b, ii, nms_thresh=cfg.TEST.NMS,
+        max_per_image=cfg.TEST.MAX_PER_IMAGE,
+        bbox_normalize_means=cfg.TRAIN.BBOX_NORMALIZE_MEANS,
+        bbox_normalize_stds=cfg.TRAIN.BBOX_NORMALIZE_STDS))
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    loader = OneShotLoader(view, cfg, training=False)
+
+    results = []
+    for avg in range(args.average):
+        loader.query_position = avg
+        tag = (f"sess{args.checksession}_g{args.group}_seen{args.seen}_{avg}"
+               if args.group else f"sess{args.checksession}_seen"
+                                  f"{args.seen}_{avg}")
+        det_file = os.path.join(args.output_dir, tag + ".pkl")
+        if args.with_cache_file and os.path.exists(det_file):
+            with open(det_file, "rb") as f:
+                all_boxes = pickle.load(f)
+            printer("Loaded cached detections: ", det_file)
+        else:
+            printer(f"Query-shot pass {avg + 1}/{args.average}")
+            all_boxes = run_pass(loader, eval_step, post, params, args,
+                                 view.allowed_classes)
+            with open(det_file, "wb") as f:
+                pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)
+
+        if args.dataset == "coco":
+            gt = view.coco_gt
+            rec_to_img = {i: r.img_id for i, r in enumerate(view.records)}
+            dets = dets_to_coco_results(all_boxes, rec_to_img,
+                                        gt.class_ind_to_cat_id)
+            ev = COCODetEval(gt, dets,
+                             img_ids=[r.img_id for r in view.records])
+            ev.evaluate()
+            ev.accumulate()
+            class_index = [c - 1 for c in view.allowed_classes]
+            stats = ev.summarize(class_index=class_index)
+            results.append({"AP50": float(stats[1]), "AP": float(stats[0])})
+        else:
+            res = evaluate_voc(
+                all_boxes, view.records, view.allowed_classes,
+                voc_data.class_order(args.seen))
+            printer("  ".join(f"{k}={v * 100:.1f}" for k, v in res.items()))
+            results.append(res)
+
+    if results:
+        key = "mAP" if args.dataset != "coco" else "AP50"
+        mean = float(np.mean([r[key] for r in results]))
+        printer(f"Averaged over {len(results)} shots: {key} = "
+                f"{mean * 100:.2f}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

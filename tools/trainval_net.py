@@ -1,0 +1,268 @@
+#!/usr/bin/env python
+"""One-shot detection training CLI.
+
+Unifies the reference's `trainval_net_voc.py` / `trainval_net_coco.py`
+(which differ by 2 lines — the co-attention flavor import) behind one
+entry point with the same flags (--dataset/--net/--bs/--lr/--lr_decay_step/
+--seen/--g/--session/--version/--epochs/--r ...).  The dataset choice picks
+the co-attention flavor exactly as the reference's imports do: VOC -> MHA
+pair, COCO -> non-local (SURVEY.md §2.2).
+
+TPU execution model: one donated jit train step, data-parallel over every
+visible device via a named mesh; orbax checkpoints per epoch + every
+--checkpoint_interval steps with auto-resume (--r true).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# honor AIT_PLATFORM even where sitecustomize pins jax_platforms (axon)
+if os.environ.get("AIT_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["AIT_PLATFORM"])
+
+import jax.numpy as jnp
+import numpy as np
+
+from ait_tpu.config import Config
+from ait_tpu.data import OneShotLoader
+from ait_tpu.data import coco as coco_data
+from ait_tpu.data import voc as voc_data
+from ait_tpu.models import AITDetector
+from ait_tpu.parallel import make_mesh, replicate, shard_batch
+from ait_tpu.train import (TrainState, init_params, lr_schedule,
+                           make_optimizer, make_train_step)
+from ait_tpu.train.checkpoint import CheckpointManager, save_config
+from ait_tpu.utils import AverageMeter, MetricWriter, ThroughputMeter, printer
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train the one-shot detector")
+    p.add_argument("--dataset", default="pascal_voc_0712",
+                   choices=["pascal_voc", "pascal_voc_0712", "coco"])
+    p.add_argument("--net", default="res50",
+                   choices=["res50", "res101", "vgg16"])
+    p.add_argument("--start_epoch", type=int, default=1)
+    p.add_argument("--epochs", dest="max_epochs", type=int, default=10)
+    p.add_argument("--disp_interval", type=int, default=20)
+    p.add_argument("--checkpoint_interval", type=int, default=10000)
+    p.add_argument("--save_dir", default="models")
+    p.add_argument("--data_dir", default="data")
+    p.add_argument("--nw", dest="num_workers", type=int, default=8)
+    p.add_argument("--g", dest="group", type=int, default=0)
+    p.add_argument("--seen", type=int, default=1)
+    p.add_argument("--bs", dest="batch_size", type=int, default=8)
+    p.add_argument("--cag", dest="class_agnostic", default=True)
+    p.add_argument("--o", dest="optimizer", default="sgd",
+                   choices=["sgd", "adam"])
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--lr_decay_step", type=int, default=4)
+    p.add_argument("--lr_decay_gamma", type=float, default=0.1)
+    p.add_argument("--session", type=int, default=1)
+    p.add_argument("--r", dest="resume", default=False,
+                   type=lambda s: str(s).lower() in ("1", "true", "yes"))
+    p.add_argument("--version", default="1.0.0")
+    p.add_argument("--ls", dest="large_scale", action="store_true")
+    p.add_argument("--pretrained", default=None,
+                   help="path to a converted backbone/model params .npz "
+                        "(tools/convert_torch_checkpoint.py)")
+    p.add_argument("--debug", action="store_true",
+                   help="truncate to 5 iters/epoch")
+    p.add_argument("--set", dest="set_cfgs", nargs="*", default=[],
+                   help="dotted-key config overrides, e.g. "
+                        "TRAIN.RPN_PRE_NMS_TOP_N 6000")
+    return p.parse_args(argv)
+
+
+def build_config(args) -> Config:
+    suffix = "_ls" if args.large_scale else ""
+    name = (f"{args.net.replace('res', 'res')}_{args.group}{suffix}"
+            if args.group != 0 else f"{args.net}{suffix}")
+    name = name.replace("res", "res")  # res50 -> res50
+    cfg_file = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "cfgs", f"{name}.yml")
+    cfg = Config.from_yaml(cfg_file) if os.path.exists(cfg_file) else Config()
+    printer("Config: ", cfg_file)
+
+    # dataset-level overrides (trainval_net_voc.py:193-204)
+    if args.dataset == "coco":
+        cfg = cfg.override(["ANCHOR_SCALES", "(4, 8, 16, 32)",
+                            "MAX_NUM_GT_BOXES", "50"])
+        coatt = "nonlocal"
+    else:
+        cfg = cfg.override(["ANCHOR_SCALES", "(8, 16, 32)",
+                            "MAX_NUM_GT_BOXES", "20"])
+        coatt = "mha"
+    backbone = {"res50": "resnet50", "res101": "resnet101",
+                "vgg16": "vgg16"}[args.net]
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, backbone=backbone, coattention=coatt,
+        channels=512 if backbone == "vgg16" else 1024,
+        class_agnostic=bool(args.class_agnostic)))
+    if args.set_cfgs:
+        cfg = cfg.override(args.set_cfgs)
+    return cfg
+
+
+def build_view(args, cfg):
+    cache = os.path.join(args.data_dir, "cache")
+    if args.dataset == "coco":
+        view = coco_data.load_coco(os.path.join(args.data_dir, "coco"),
+                                   "2017", "train", cache_dir=None)
+        return coco_data.filter_seen(view, args.seen,
+                                     cfg.train_categories[0])
+    sets = ([("2007", "trainval")] if args.dataset == "pascal_voc"
+            else [("2007", "trainval"), ("2012", "trainval")])
+    views = []
+    for year, split in sets:
+        devkit = os.path.join(args.data_dir, f"VOCdevkit{year}")
+        v = voc_data.load_voc(devkit, year, split, cache_dir=cache)
+        views.append(voc_data.filter_seen(v, args.seen))
+    view = views[0]
+    for other in views[1:]:  # multi-dataset merge (roidb.py:178-184)
+        view.records.extend(other.records)
+        for c, pool in other.cat_data.items():
+            view.cat_data[c].extend(pool)
+    return view
+
+
+def load_pretrained(params, path):
+    """Overlay a converted .npz params file onto freshly-initialized params."""
+    import pickle
+
+    with open(path, "rb") as f:
+        loaded = pickle.load(f)
+
+    def overlay(dst, src, prefix=""):
+        n = [0]
+
+        def rec(d, s, pre):
+            for k, v in s.items():
+                if k not in d:
+                    continue
+                if isinstance(v, dict):
+                    rec(d[k], v, pre + k + "/")
+                else:
+                    assert d[k].shape == v.shape, (pre + k, d[k].shape,
+                                                  v.shape)
+                    d[k] = jnp.asarray(v)
+                    n[0] += 1
+        rec(dst, src, prefix)
+        return n[0]
+
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy-ish
+    import flax
+    params = flax.core.unfreeze(params) if hasattr(flax.core, "unfreeze") \
+        else params
+    count = overlay(params, loaded)
+    printer(f"Loaded {count} pretrained arrays from ", path)
+    return params
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = build_config(args)
+    np.random.seed(cfg.RNG_SEED)
+
+    view = build_view(args, cfg)
+    printer(f"{len(view.records)} roidb entries (pre-augment)")
+    loader = OneShotLoader(view, cfg, training=True)
+    printer(f"{len(loader)} training records after flip+filter")
+
+    output_dir = os.path.join(args.save_dir, args.net, args.dataset,
+                              args.version)
+    os.makedirs(output_dir, exist_ok=True)
+    save_config(output_dir, cfg)
+    writer = MetricWriter(os.path.join(output_dir, "logs"))
+
+    model = AITDetector(cfg, dtype=jnp.bfloat16)
+    params = init_params(model, cfg, jax.random.PRNGKey(cfg.RNG_SEED))
+    if args.pretrained:
+        params = load_pretrained(params, args.pretrained)
+
+    steps_per_epoch = max(len(loader) // args.batch_size, 1)
+    sched = lr_schedule(args.lr, steps_per_epoch, args.lr_decay_step,
+                        args.lr_decay_gamma)
+    tx = make_optimizer(cfg, sched, optimizer=args.optimizer,
+                        clip_norm=10.0 if args.net == "vgg16" else None)
+    state = TrainState.create(params, tx)
+
+    mesh = make_mesh()
+    printer(f"Mesh: {mesh.devices.size} device(s) on axis "
+            f"{cfg.tpu.mesh_axes}")
+    state = replicate(state, mesh)
+
+    ckpt = CheckpointManager(os.path.join(output_dir, "ckpt"))
+    start_epoch = args.start_epoch
+    if args.resume:
+        latest = ckpt.latest_step()
+        if latest is not None:
+            state = ckpt.restore(state)
+            start_epoch = latest // steps_per_epoch + 1
+            printer(f"Resumed from step {latest} -> epoch {start_epoch}")
+
+    step_fn = jax.jit(make_train_step(model, tx), donate_argnums=0)
+    rng = jax.random.PRNGKey(cfg.RNG_SEED + args.session)
+
+    meters = {k: AverageMeter() for k in
+              ("loss", "rpn_cls", "rpn_box", "rcnn_cls", "margin",
+               "rcnn_box")}
+    thru = ThroughputMeter()
+
+    for epoch in range(start_epoch, args.max_epochs + 1):
+        for m in meters.values():
+            m.reset()
+        thru.reset()
+        for it, batch in enumerate(loader.train_epoch(
+                args.batch_size, num_workers=args.num_workers)):
+            if args.debug and it >= 5:
+                break
+            batch = shard_batch(
+                {k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+            state, metrics = step_fn(state, batch, rng)
+            thru.tick(args.batch_size)
+            if (it + 1) % args.disp_interval == 0 or args.debug:
+                metrics = jax.device_get(metrics)
+                for k, m in meters.items():
+                    m.update(float(metrics[k]))
+                sps, pps = thru.rates()
+                step = int(jax.device_get(state.step))
+                printer(
+                    f"[session {args.session}][epoch {epoch:2d}]"
+                    f"[iter {it + 1:5d}/{steps_per_epoch}] ",
+                    f"loss {meters['loss'].avg:.4f} "
+                    f"(rpn {meters['rpn_cls'].avg:.3f}/"
+                    f"{meters['rpn_box'].avg:.3f} "
+                    f"rcnn {meters['rcnn_cls'].avg:.3f}/"
+                    f"{meters['rcnn_box'].avg:.3f} "
+                    f"margin {meters['margin'].avg:.3f}) "
+                    f"fg/bg {int(metrics['fg_cnt'])}/"
+                    f"{int(metrics['bg_cnt'])} "
+                    f"| {sps:.2f} it/s, {pps:.1f} pairs/s")
+                writer.write(step, {k: m.avg for k, m in meters.items()})
+                writer.write(step, {"steps_per_sec": sps,
+                                    "pairs_per_sec": pps}, prefix="perf")
+            step = int(jax.device_get(state.step))
+            if step % args.checkpoint_interval == 0:
+                ckpt.save(step, jax.device_get(state),
+                          metadata={"epoch": epoch, "session": args.session})
+        step = int(jax.device_get(state.step))
+        ckpt.save(step, jax.device_get(state),
+                  metadata={"epoch": epoch, "session": args.session},
+                  force=True)
+        printer(f"Saved checkpoint at epoch {epoch}, step {step}")
+    ckpt.wait()
+    writer.close()
+    printer("Training done.")
+
+
+if __name__ == "__main__":
+    main()

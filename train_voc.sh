@@ -1,0 +1,19 @@
+#!/bin/bash
+# Canonical VOC training recipe (reference train_voc.sh): bs 8, lr 0.01,
+# decay step 4, 10 epochs, seen split 1.  Data parallel spans every visible
+# TPU chip automatically (no CUDA_VISIBLE_DEVICES / --mGPUs needed).
+BATCH_SIZE=${BATCH_SIZE:-8}
+WORKER_NUMBER=${WORKER_NUMBER:-8}
+LEARNING_RATE=${LEARNING_RATE:-0.01}
+DECAY_STEP=${DECAY_STEP:-4}
+SPLIT=${SPLIT:-0}
+SEEN=${SEEN:-1}
+SESSION=${SESSION:-1}
+VERSION=${VERSION:-0.0.0}
+EPOCH=${EPOCH:-10}
+python tools/trainval_net.py \
+    --dataset pascal_voc_0712 --net res50 \
+    --bs $BATCH_SIZE --nw $WORKER_NUMBER \
+    --lr $LEARNING_RATE --lr_decay_step $DECAY_STEP \
+    --g $SPLIT --seen $SEEN --session $SESSION \
+    --version $VERSION --epochs $EPOCH "$@"
