@@ -1,0 +1,281 @@
+"""Torch checkpoint conversion: reference .pth state_dicts -> flax params.
+
+Two sources (SURVEY.md §5 checkpoint/resume):
+  * the reduced-ImageNet backbone pretrains
+    (data/pretrain_imagenet_resnet{50,101}/model_best.pth.tar, loaded with
+    `module.` prefixes stripped — resnet_sys_transformer_sk_dilat.py:379-394);
+  * full released detector checkpoints
+    ({dataset}_{net}_fasterRCNN_session-S_epoch-E_step-T.pth, torch dict with
+    a 'model' state_dict — trainval_net_voc.py:488-500).
+
+Layout conversions: torch conv [O,I,kh,kw] -> flax [kh,kw,I,O]; linear
+[O,I] -> [I,O]; BatchNorm {weight,bias,running_mean,running_var} ->
+FrozenBatchNorm {scale,bias,mean,var}.  The RCNNBackbone state_dict aliases
+every backbone tensor under both `backbone.*` and `stem./layerN.` names; only
+the latter are read.  Buffers that are deterministic functions of shape
+(positional-encoding tables, num_batches_tracked) are skipped.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import numpy as np
+
+
+def _set(tree: dict, path, value):
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+def _conv(w) -> np.ndarray:
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def _linear(w) -> np.ndarray:
+    return np.asarray(w).T
+
+
+_BN_LEAF = {"weight": "scale", "bias": "bias",
+            "running_mean": "mean", "running_var": "var"}
+
+
+def _bn(path, leaf, value, out):
+    _set(out, path + (_BN_LEAF[leaf],), np.asarray(value))
+
+
+def _norm_leaf(leaf: str) -> str:
+    return {"weight": "scale", "bias": "bias"}[leaf]
+
+
+def convert_backbone(state_dict: Dict[str, "object"],
+                     strip_module: bool = True) -> dict:
+    """ImageNet-pretrain resnet state_dict -> {'backbone':..., 'top':...}."""
+    out: dict = {}
+    for key, val in state_dict.items():
+        if strip_module and key.startswith("module."):
+            key = key[len("module."):]
+        parts = key.split(".")
+        if parts[0] in ("fc", "avgpool"):
+            continue
+        if parts[-1] == "num_batches_tracked":
+            continue
+        val = np.asarray(getattr(val, "numpy", lambda: val)())
+        if parts[0] == "conv1":
+            _set(out, ("backbone", "conv1", "kernel"), _conv(val))
+        elif parts[0] == "bn1":
+            _bn(("backbone", "bn1"), parts[1], val, out)
+        elif re.fullmatch(r"layer[1-4]", parts[0]):
+            layer = parts[0]
+            root = ("top", "layer4") if layer == "layer4" else ("backbone",
+                                                               layer)
+            block = f"block{parts[1]}"
+            mod, leaf = parts[2], parts[3]
+            if mod.startswith("conv"):
+                _set(out, root + (block, mod, "kernel"), _conv(val))
+            elif mod.startswith("bn"):
+                _bn(root + (block, mod), leaf, val, out)
+            elif mod == "downsample":
+                sub = "downsample_conv" if parts[3] == "0" else None
+                idx, leaf = parts[3], parts[4]
+                if idx == "0":
+                    _set(out, root + (block, "downsample_conv", "kernel"),
+                         _conv(val))
+                else:
+                    _bn(root + (block, "downsample_bn"), leaf, val, out)
+    return out
+
+
+# torch module path prefix -> (flax path, kind); kind: conv|linear|norm|bn
+_MHA_SUBS = [
+    ("w_qs.weight", ("w_qs", "kernel"), _linear),
+    ("w_ks.weight", ("w_ks", "kernel"), _linear),
+    ("w_vs.weight", ("w_vs", "kernel"), _linear),
+    ("fc.weight", ("fc", "kernel"), _linear),
+    ("sh.sk.weight", ("sh", "sk", "kernel"), _linear),
+    ("sh.sk.bias", ("sh", "sk", "bias"), np.asarray),
+    ("layer_norm.weight", ("LayerNorm_0", "scale"), np.asarray),
+    ("layer_norm.bias", ("LayerNorm_0", "bias"), np.asarray),
+]
+
+_FFN_SUBS = [
+    ("w_1.weight", ("w_1", "kernel"), _linear),
+    ("w_1.bias", ("w_1", "bias"), np.asarray),
+    ("w_2.weight", ("w_2", "kernel"), _linear),
+    ("w_2.bias", ("w_2", "bias"), np.asarray),
+    ("layer_norm.weight", ("LayerNorm_0", "scale"), np.asarray),
+    ("layer_norm.bias", ("LayerNorm_0", "bias"), np.asarray),
+]
+
+
+def _match_subs(rest: str, subs, base_path, out, val) -> bool:
+    for suffix, path, fn in subs:
+        if rest == suffix:
+            _set(out, base_path + path, fn(val))
+            return True
+    return False
+
+
+def convert_detector(state_dict: Dict[str, "object"]) -> dict:
+    """Full detector state_dict ('model' entry of a released ckpt)."""
+    out: dict = {}
+    for key, val in state_dict.items():
+        if key.startswith("module."):
+            key = key[len("module."):]
+        val = np.asarray(getattr(val, "numpy", lambda: val)())
+        parts = key.split(".")
+        if parts[-1] == "num_batches_tracked":
+            continue
+        if "pos_table" in key:
+            continue  # deterministic sinusoid buffer
+        if parts[0] == "RCNN_base":
+            if parts[1] == "backbone":
+                continue  # aliases of stem./layerN. tensors
+            if parts[1] == "stem":
+                if parts[2] == "0":
+                    _set(out, ("backbone", "conv1", "kernel"), _conv(val))
+                else:
+                    _bn(("backbone", "bn1"), parts[3], val, out)
+                continue
+            layer, block = parts[1], f"block{parts[2]}"
+            root = ("backbone", layer, block)
+            mod = parts[3]
+            if mod.startswith("conv"):
+                _set(out, root + (mod, "kernel"), _conv(val))
+            elif mod.startswith("bn"):
+                _bn(root + (mod,), parts[4], val, out)
+            elif mod == "downsample":
+                if parts[4] == "0":
+                    _set(out, root + ("downsample_conv", "kernel"),
+                         _conv(val))
+                else:
+                    _bn(root + ("downsample_bn",), parts[5], val, out)
+            continue
+        if parts[0] == "RCNN_top":
+            block = f"block{parts[2]}"
+            root = ("top", "layer4", block)
+            mod = parts[3]
+            if mod.startswith("conv"):
+                _set(out, root + (mod, "kernel"), _conv(val))
+            elif mod.startswith("bn"):
+                _bn(root + (mod,), parts[4], val, out)
+            elif mod == "downsample":
+                if parts[4] == "0":
+                    _set(out, root + ("downsample_conv", "kernel"),
+                         _conv(val))
+                else:
+                    _bn(root + ("downsample_bn",), parts[5], val, out)
+            continue
+        if parts[0] == "RCNN_rpn":
+            name = {"RPN_Conv": "conv", "RPN_cls_score": "cls_score",
+                    "RPN_bbox_pred": "bbox_pred"}[parts[1]]
+            leaf = "kernel" if parts[2] == "weight" else "bias"
+            _set(out, ("rpn", name, leaf),
+                 _conv(val) if leaf == "kernel" else val)
+            continue
+        if parts[0] == "RCNN_cls_score":
+            leaf = "kernel" if parts[2] == "weight" else "bias"
+            _set(out, (f"cls_score_{parts[1]}", leaf),
+                 _linear(val) if leaf == "kernel" else val)
+            continue
+        if parts[0] == "RCNN_bbox_pred":
+            leaf = "kernel" if parts[1] == "weight" else "bias"
+            _set(out, ("bbox_pred_head", leaf),
+                 _linear(val) if leaf == "kernel" else val)
+            continue
+        if parts[0] in ("coattention", "coattention_module"):
+            rest = ".".join(parts[1:])
+            # VOC MHA flavor (faster_rcnn_sys_transformer_sk_dilat.py:31-64)
+            for emb in ("img_emb", "qry_emb"):
+                if rest.startswith(emb + ".0."):
+                    leaf = "kernel" if rest.endswith("weight") else "bias"
+                    _set(out, ("coattention", emb, leaf),
+                         _conv(val) if leaf == "kernel" else val)
+                    break
+            else:
+                for tr in ("img_trans", "qry_trans"):
+                    if rest.startswith(tr + ".0."):
+                        leaf = "kernel" if rest.endswith("weight") else "bias"
+                        _set(out, ("coattention", tr, leaf),
+                             _linear(val) if leaf == "kernel" else val)
+                        break
+                else:
+                    m = re.match(r"(i2q_attn|q2i_attn)\.(.+)", rest)
+                    if m and _match_subs(m.group(2), _MHA_SUBS,
+                                         ("coattention", m.group(1)), out,
+                                         val):
+                        continue
+                    # COCO non-local flavor (blocks_coatt:17-58)
+                    m = re.match(r"coattention\.(emb|rho|phi)\.(weight|bias)",
+                                 rest)
+                    if m:
+                        leaf = "kernel" if m.group(2) == "weight" else "bias"
+                        _set(out, ("coattention", m.group(1), leaf),
+                             _conv(val) if leaf == "kernel" else val)
+                        continue
+                    m = re.match(r"coattention\.(omega|theta)\.(0|1)\."
+                                 r"(weight|bias)", rest)
+                    if m:
+                        name, idx, leaf = m.groups()
+                        if idx == "0":
+                            _set(out, ("coattention", f"{name}_conv",
+                                       "kernel" if leaf == "weight"
+                                       else "bias"),
+                                 _conv(val) if leaf == "weight" else val)
+                        else:
+                            _set(out, ("coattention", f"{name}_gn",
+                                       "GroupNorm_0", _norm_leaf(leaf)),
+                                 val)
+                        continue
+            continue
+        if parts[0] == "transformer":
+            rest = ".".join(parts[1:])
+            for emb in ("enc_emb", "dec_emb", "dec_trans"):
+                if rest.startswith(emb + ".0."):
+                    leaf = "kernel" if rest.endswith("weight") else "bias"
+                    _set(out, ("transformer", emb, leaf),
+                         _conv(val) if leaf == "kernel" else val)
+                    break
+            else:
+                m = re.match(
+                    r"(encoder|decoder)\.layer_norm\.(weight|bias)", rest)
+                if m:
+                    name = ("enc_in_ln" if m.group(1) == "encoder"
+                            else "dec_in_ln")
+                    _set(out, ("transformer", name, _norm_leaf(m.group(2))),
+                         val)
+                    continue
+                m = re.match(r"(encoder|decoder)\.layer_stack\.(\d+)\."
+                             r"(slf_attn|enc_attn|pos_ffn)\.(.+)", rest)
+                if m:
+                    side = "enc" if m.group(1) == "encoder" else "dec"
+                    base = ("transformer", f"{side}_layer{m.group(2)}",
+                            m.group(3))
+                    subs = _FFN_SUBS if m.group(3) == "pos_ffn" else _MHA_SUBS
+                    _match_subs(m.group(4), subs, base, out, val)
+                    continue
+            continue
+        if parts[0] == "sk":
+            m = re.match(r"sk\.(sk_props|sk_query)\.(.+)",
+                         key if not key.startswith("module.") else key[7:])
+            rest = ".".join(parts[2:])
+            branch = parts[1]
+            mm = re.match(r"convs\.(\d)\.0\.(weight|bias)", rest)
+            if mm:
+                leaf = "kernel" if mm.group(2) == "weight" else "bias"
+                _set(out, ("sk", branch, f"conv{mm.group(1)}", leaf),
+                     _conv(val) if leaf == "kernel" else val)
+                continue
+            mm = re.match(r"(fc|sk)\.(weight|bias)", rest)
+            if mm:
+                # gate params exist only in sk_gate='fixed' models; kept in
+                # the tree either way so overlay can skip them
+                leaf = "kernel" if mm.group(2) == "weight" else "bias"
+                _set(out, ("sk", branch, mm.group(1), leaf),
+                     _linear(val) if leaf == "kernel" else val)
+                continue
+            continue
+    return out

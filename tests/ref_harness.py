@@ -1,0 +1,86 @@
+"""Import harness for the reference's torch modules (/root/reference/lib).
+
+Installs lightweight stubs for the reference's unavailable deps (easydict,
+torchvision, terminaltables, progress bars, the compiled `model._C`
+extension) so its pure-torch model code runs on CPU for numerics parity
+tests.  Nothing here ships in the framework — test scaffolding only.
+"""
+
+import io
+import os
+import sys
+import types
+
+REF_LIB = "/root/reference/lib"
+
+
+class _EasyDict(dict):
+    def __init__(self, d=None, **kw):
+        super().__init__()
+        d = dict(d or {})
+        d.update(kw)
+        for k, v in d.items():
+            self[k] = v
+
+    def __setitem__(self, k, v):
+        if isinstance(v, dict) and not isinstance(v, _EasyDict):
+            v = _EasyDict(v)
+        super().__setitem__(k, v)
+        super().__setattr__(k, v)
+
+    __setattr__ = __setitem__
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError:
+            raise AttributeError(k)
+
+
+def _module(name, **attrs):
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+_installed = False
+
+
+def install():
+    global _installed
+    if _installed:
+        return
+    _installed = True
+    if REF_LIB not in sys.path:
+        sys.path.insert(0, REF_LIB)
+
+    _module("easydict", EasyDict=_EasyDict)
+    noop = lambda *a, **k: None
+    _module("lib")
+    _module("lib.ops")
+    _module("lib.ops.utils", printer=noop, color=lambda *a, **k: "",
+            mkdir=noop, AverageMeter=object)
+    _module("lib.utilities", Bar=object, FillingSquaresBar=object)
+    _module("terminaltables", DoubleTable=lambda *a, **k: None)
+
+    # torchvision: only `torchvision.models` is imported, never called on
+    # the paths we exercise
+    tv = _module("torchvision")
+    tv.models = _module("torchvision.models")
+
+    # compiled extension: never called in CPU-side module construction
+    _module("model._C", nms=noop, roi_align_forward=noop,
+            roi_align_backward=noop, roi_pool_forward=noop,
+            roi_pool_backward=noop)
+
+    # module-level `stty size` calls need a tty
+    real_popen = os.popen
+    os.popen = lambda *a, **k: io.StringIO("24 80")
+    return real_popen
+
+
+def restore_popen(real_popen):
+    if real_popen is not None:
+        os.popen = real_popen
