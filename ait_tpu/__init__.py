@@ -16,3 +16,7 @@ Design stance (vs. the reference CUDA/PyTorch implementation):
 """
 
 __version__ = "0.1.0"
+
+from ait_tpu.config import Config  # noqa: E402
+
+__all__ = ["Config", "__version__"]

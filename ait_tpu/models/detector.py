@@ -39,6 +39,7 @@ from ait_tpu.models.targets import anchor_targets, proposal_targets
 from ait_tpu.models.vgg import VGGBackbone, VGGTop
 from ait_tpu.ops.anchors import shifted_anchors
 from ait_tpu.ops.roi_align import roi_align
+from ait_tpu.ops.roi_pool import roi_pool
 
 Dtype = Any
 
@@ -174,9 +175,17 @@ class AITDetector(nn.Module):
             rois_label = pt.labels
 
         num_props = rois.shape[1]
-        props = roi_align(non_img, rois[..., 1:5], out_size=c.POOLING_SIZE,
-                          spatial_scale=1.0 / c.FEAT_STRIDE[0],
-                          sampling_ratio=c.tpu.roi_sampling_ratio)
+        if c.POOLING_MODE == "align":
+            props = roi_align(non_img, rois[..., 1:5],
+                              out_size=c.POOLING_SIZE,
+                              spatial_scale=1.0 / c.FEAT_STRIDE[0],
+                              sampling_ratio=c.tpu.roi_sampling_ratio)
+        elif c.POOLING_MODE == "pool":
+            props = roi_pool(non_img, rois[..., 1:5],
+                             out_size=c.POOLING_SIZE,
+                             spatial_scale=1.0 / c.FEAT_STRIDE[0])
+        else:
+            raise ValueError(c.POOLING_MODE)
         props = props.reshape((b * num_props,) + props.shape[2:])
 
         props = self.transformer(props, non_qry, deterministic=det)

@@ -45,12 +45,14 @@ def main():
 
     for _ in range(WARMUP):
         state, metrics = step(state, batch, rng)
-    jax.block_until_ready(metrics)
+    # hard sync: device_get forces a full drain of the execution queue
+    # (block_until_ready does not reliably block through the axon tunnel)
+    float(metrics["loss"])
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, metrics = step(state, batch, rng)
-    jax.block_until_ready(metrics)
+    float(metrics["loss"])
     dt = (time.perf_counter() - t0) / ITERS
 
     pairs_per_sec = BATCH / dt
