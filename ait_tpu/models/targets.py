@@ -40,13 +40,21 @@ class ProposalTargets(NamedTuple):
     outside_weights: jnp.ndarray  # [B, R, 4]
 
 
-def _keep_k_random(mask, k, key):
-    """Randomly keep at most k True entries of `mask` (without replacement)."""
+def _keep_k_random(mask, k, key, k_max: int):
+    """Randomly keep at most k True entries of `mask` (without replacement).
+
+    `k` may be traced; `k_max` is its static upper bound.  Partial selection
+    (top_k of random keys) instead of a full argsort — k_max is small
+    (<=256) while the anchor set is ~17k, and full sorts are the expensive
+    primitive on TPU.
+    """
     n = mask.shape[0]
-    r = jax.random.uniform(key, (n,))
-    order = jnp.argsort(jnp.where(mask, r, 2.0))
-    pos = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
-    return mask & (pos < k)
+    r = jax.random.uniform(key, (n,), minval=0.0, maxval=1.0)
+    masked = jnp.where(mask, r, 2.0)
+    smallest = -jax.lax.top_k(-masked, min(k_max, n))[0]  # ascending keys
+    kth = smallest[jnp.clip(k - 1, 0, smallest.shape[0] - 1)]
+    kth = jnp.where(k > 0, kth, -1.0)
+    return mask & (masked <= kth)
 
 
 def _random_compaction(mask, key):
@@ -93,10 +101,10 @@ def anchor_targets(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
         if clobber_positives:
             labels = jnp.where(inside & (max_ov < negative_overlap), 0, labels)
 
-        keep_fg = _keep_k_random(labels == 1, num_fg, k1)
+        keep_fg = _keep_k_random(labels == 1, num_fg, k1, num_fg)
         labels = jnp.where((labels == 1) & ~keep_fg, -1, labels)
         num_bg = batch_size - jnp.sum(labels == 1)
-        keep_bg = _keep_k_random(labels == 0, num_bg, k2)
+        keep_bg = _keep_k_random(labels == 0, num_bg, k2, batch_size)
         labels = jnp.where((labels == 0) & ~keep_bg, -1, labels)
 
         targets = bbox_transform(anchors, gt[argmax_gt, :4])

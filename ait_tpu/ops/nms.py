@@ -5,13 +5,16 @@ The reference runs NMS per image on the host side of a CUDA bitmask kernel
 sweep), inside a Python loop over the batch (proposal_layer.py:134-166) — the
 single biggest serialization point of the whole pipeline (~0.33s/step).
 
-Here the greedy sweep itself is vectorized: boxes are score-sorted, processed
-in tiles of T.  Each tile is first suppressed by every kept box in earlier
-tiles (one [T, N] masked IoU), then resolved internally by iterative peeling —
-each round confirms all currently-undominated boxes and removes their victims.
-The fixpoint equals the sequential greedy solution exactly (the suppression
-graph is a DAG in score order), and the loop runs O(longest suppression chain)
-rounds, not O(T).
+Here the greedy sweep itself is vectorized and bounded by the OUTPUT size:
+boxes are score-sorted and processed in tiles of T.  Each tile is first
+suppressed by the survivors recorded so far (a compacted [cap, 4] buffer —
+far smaller than the candidate set), then resolved internally by iterative
+peeling: each round confirms all currently-undominated boxes and removes
+their victims.  The fixpoint equals the sequential greedy solution exactly
+(the suppression graph is a DAG in score order).  Because only the top
+`max_out` survivors can ever be emitted, the sweep stops as soon as the
+survivor buffer is full — on real score distributions that is a small
+fraction of the candidate tiles.
 
 IoU uses the same +1 area convention as nms.cu:16-19.
 """
@@ -38,6 +41,10 @@ def _pad_to(x, n, axis, value):
     return jnp.pad(x, widths, constant_values=value)
 
 
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
 def _tile_self_suppress(adj: jnp.ndarray, alive: jnp.ndarray) -> jnp.ndarray:
     """Resolve greedy NMS inside one tile.
 
@@ -61,36 +68,64 @@ def _tile_self_suppress(adj: jnp.ndarray, alive: jnp.ndarray) -> jnp.ndarray:
     return alive
 
 
-def nms_keep_mask(boxes: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float,
-                  tile: int = 256) -> jnp.ndarray:
+def nms_keep_mask(boxes: jnp.ndarray, valid: jnp.ndarray, iou_threshold,
+                  tile: int = 256, max_out: int | None = None) -> jnp.ndarray:
     """Greedy keep-mask over boxes already sorted by descending score.
 
     boxes: [N, 4]; valid: [N] bool (padding rows False).  Returns [N] bool.
+    With `max_out`, the sweep stops once `max_out` survivors exist; keep bits
+    for the first `max_out` survivors are exact (later bits may be
+    under-reported — callers take the top `max_out` only).
     """
     n = boxes.shape[0]
-    n_pad = -(-n // tile) * tile
+    n_pad = _round_up(n, tile)
+    n_tiles = n_pad // tile
     boxes_p = _pad_to(boxes, n_pad, 0, 0.0)
     keep = _pad_to(valid, n_pad, 0, False)
-    col = jnp.arange(n_pad)
 
-    def outer(i, keep):
+    cap = n if max_out is None else min(max_out, n)
+    cap_pad = _round_up(cap, 128)
+    surv = jnp.zeros((cap_pad, 4), boxes.dtype)
+    col = jnp.arange(cap_pad)
+    r = jnp.arange(tile)
+
+    def cond(state):
+        i, _, _, scount = state
+        return (i < n_tiles) & (scount < cap)
+
+    def body(state):
+        i, keep, surv, scount = state
         start = i * tile
-        tile_boxes = lax.dynamic_slice(boxes_p, (start, 0), (tile, 4))
-        tile_keep = lax.dynamic_slice(keep, (start,), (tile,))
-        iou = bbox_overlaps(tile_boxes, boxes_p)  # [T, n_pad]
-        over = iou > iou_threshold
-        # suppression by surviving boxes in strictly earlier tiles
-        prev = keep & (col < start)
-        tile_keep = tile_keep & ~jnp.any(over & prev[None, :], axis=1)
+        tb = lax.dynamic_slice(boxes_p, (start, 0), (tile, 4))
+        tk = lax.dynamic_slice(keep, (start,), (tile,))
+        # suppression by survivors from earlier tiles (compacted buffer)
+        iou_prev = bbox_overlaps(tb, surv)                  # [T, cap_pad]
+        prev = (iou_prev > iou_threshold) & (col < scount)[None, :]
+        tk = tk & ~jnp.any(prev, axis=1)
         # within-tile resolution
-        iou_tt = lax.dynamic_slice(over, (0, start), (tile, tile))
-        r = jnp.arange(tile)
-        adj = iou_tt & (r[:, None] < r[None, :])
-        tile_keep = _tile_self_suppress(adj, tile_keep)
-        return lax.dynamic_update_slice(keep, tile_keep, (start,))
+        iou_tt = bbox_overlaps(tb, tb)
+        adj = (iou_tt > iou_threshold) & (r[:, None] < r[None, :])
+        tk = _tile_self_suppress(adj, tk)
+        # append this tile's survivors to the buffer (score order)
+        pos = scount + jnp.cumsum(tk) - tk
+        idx = jnp.where(tk & (pos < cap_pad), pos, cap_pad)
+        surv = surv.at[idx].set(tb, mode="drop")
+        keep = lax.dynamic_update_slice(keep, tk, (start,))
+        return i + 1, keep, surv, scount + jnp.sum(tk)
 
-    keep = lax.fori_loop(0, n_pad // tile, outer, keep)
+    _, keep, _, _ = lax.while_loop(
+        cond, body, (jnp.int32(0), keep, surv, jnp.int32(0)))
     return keep[:n]
+
+
+def _select_top(keep, k):
+    """Indices of the first k True positions (score order), + valid mask."""
+    n = keep.shape[0]
+    rank = jnp.where(keep, jnp.arange(n), n)
+    # partial selection: top_k of negated rank == k smallest ranks
+    _, sel = lax.top_k(-rank, min(k, n))
+    count = jnp.minimum(jnp.sum(keep), k)
+    return sel, count
 
 
 @functools.partial(jax.jit, static_argnames=("max_out", "tile"))
@@ -105,11 +140,12 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold,
     n = boxes.shape[0]
     order = jnp.argsort(-scores)
     sboxes = boxes[order]
-    keep = nms_keep_mask(sboxes, jnp.ones(n, bool), iou_threshold, tile)
-    # compact kept indices to the front, preserving score order
-    rank = jnp.where(keep, jnp.arange(n), n)
-    sel = jnp.argsort(rank)[:max_out]
-    count = jnp.minimum(jnp.sum(keep), max_out)
+    keep = nms_keep_mask(sboxes, jnp.ones(n, bool), iou_threshold, tile,
+                         max_out=max_out)
+    sel, count = _select_top(keep, max_out)
+    pad = max_out - sel.shape[0]
+    if pad > 0:
+        sel = jnp.pad(sel, (0, pad))
     idx = jnp.where(jnp.arange(max_out) < count, order[sel], -1)
     return idx, count
 
@@ -135,12 +171,11 @@ def batched_nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray,
     def one(bx, sc, va):
         top_sc, order = lax.top_k(sc, k)
         sb = bx[order]
-        keep = nms_keep_mask(sb, va[order], iou_threshold, tile)
-        rank = jnp.where(keep, jnp.arange(k), k)
-        p = min(post_topk, k)
-        sel = jnp.argsort(rank)[:p]
-        out_valid = jnp.arange(post_topk) < jnp.minimum(jnp.sum(keep),
-                                                       post_topk)
+        keep = nms_keep_mask(sb, va[order], iou_threshold, tile,
+                             max_out=post_topk)
+        sel, count = _select_top(keep, post_topk)
+        p = sel.shape[0]
+        out_valid = jnp.arange(post_topk) < count
         out_b = jnp.zeros((post_topk, 4), boxes.dtype).at[:p].set(sb[sel])
         out_s = jnp.zeros((post_topk,), scores.dtype).at[:p].set(top_sc[sel])
         out_b = jnp.where(out_valid[:, None], out_b, 0.0)
