@@ -50,11 +50,20 @@ def make_param_labels(params):
 
 
 def lr_schedule(base_lr: float, steps_per_epoch: int, decay_step_epochs: int,
-                gamma: float):
-    """Step decay: lr * gamma^floor(epoch / decay_step)."""
-    return optax.exponential_decay(
+                gamma: float, warmup_steps: int = 0):
+    """Step decay: lr * gamma^floor(epoch / decay_step).
+
+    Optional linear warmup over `warmup_steps` — the reference ships (but
+    never wires) a GradualWarmupScheduler (model/warmup_scheduler/
+    scheduler.py); here it's one knob.
+    """
+    decay = optax.exponential_decay(
         base_lr, transition_steps=decay_step_epochs * steps_per_epoch,
         decay_rate=gamma, staircase=True)
+    if not warmup_steps:
+        return decay
+    warmup = optax.linear_schedule(0.0, base_lr, warmup_steps)
+    return optax.join_schedules([warmup, decay], [warmup_steps])
 
 
 def make_optimizer(cfg: Config, schedule, *, optimizer: str = "sgd",

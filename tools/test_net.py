@@ -73,6 +73,9 @@ def parse_args(argv=None):
     p.add_argument("--output_dir", default="output")
     p.add_argument("--debug", action="store_true",
                    help="truncate to 10 pairs")
+    p.add_argument("--vis", dest="visualization", action="store_true",
+                   help="write detection overlays to ./test_img "
+                        "(reference test_net_voc.py:475-489)")
     p.add_argument("--set", dest="set_cfgs", nargs="*", default=[])
     return p.parse_args(argv)
 
@@ -87,6 +90,23 @@ def build_view(args, cfg):
     devkit = os.path.join(args.data_dir, "VOCdevkit2007")
     v = voc_data.load_voc(devkit, "2007", "test", cache_dir=cache)
     return voc_data.filter_seen(v, args.seen)
+
+
+def _save_vis(loader, rec_idx, dets, query, out_dir, pair_idx):
+    import cv2
+    import imageio.v2 as imageio
+
+    from ait_tpu.utils.visualize import compose_with_query, draw_detections
+
+    rec = loader.view.records[rec_idx]
+    im = np.asarray(imageio.imread(rec.image_path))
+    if im.ndim == 2:
+        im = np.repeat(im[:, :, None], 3, axis=2)
+    im = draw_detections(im, dets, thresh=0.8)
+    im = compose_with_query(im, query)
+    os.makedirs(out_dir, exist_ok=True)
+    cv2.imwrite(os.path.join(out_dir, f"{pair_idx}_d.png"),
+                im[:, :, ::-1])  # RGB -> BGR for cv2
 
 
 def run_pass(loader, eval_step, post, params, args, allowed):
@@ -113,6 +133,9 @@ def run_pass(loader, eval_step, post, params, args, allowed):
             ci = int(batch["category"][i])
             ri = int(batch["record_index"][i])
             all_boxes[ci][ri] = dets[i][valid[i]]
+            if args.visualization:
+                _save_vis(loader, ri, all_boxes[ci][ri],
+                          batch["query"][i], "test_img", pi)
         if len(done) % (50 * args.batch_size) < args.batch_size:
             rate = len(done) / max(time.time() - t0, 1e-9)
             printer(f"  {len(done)}/{n_pairs} pairs ",

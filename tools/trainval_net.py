@@ -66,6 +66,7 @@ def parse_args(argv=None):
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--lr_decay_step", type=int, default=4)
     p.add_argument("--lr_decay_gamma", type=float, default=0.1)
+    p.add_argument("--warmup_steps", type=int, default=0)
     p.add_argument("--session", type=int, default=1)
     p.add_argument("--r", dest="resume", default=False,
                    type=lambda s: str(s).lower() in ("1", "true", "yes"))
@@ -169,6 +170,14 @@ def load_pretrained(params, path):
 
 def main(argv=None):
     args = parse_args(argv)
+    # multi-host TPU pods: initialize the distributed runtime when launched
+    # under a cluster coordinator (same pjit program then spans hosts; XLA
+    # runs the gradient psum over ICI/DCN — SURVEY.md §2.10)
+    if os.environ.get("COORDINATOR_ADDRESS") or \
+            os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        printer(f"jax.distributed initialized: process "
+                f"{jax.process_index()}/{jax.process_count()}")
     cfg = build_config(args)
     np.random.seed(cfg.RNG_SEED)
 
@@ -190,7 +199,8 @@ def main(argv=None):
 
     steps_per_epoch = max(len(loader) // args.batch_size, 1)
     sched = lr_schedule(args.lr, steps_per_epoch, args.lr_decay_step,
-                        args.lr_decay_gamma)
+                        args.lr_decay_gamma,
+                        warmup_steps=args.warmup_steps)
     tx = make_optimizer(cfg, sched, optimizer=args.optimizer,
                         clip_norm=10.0 if args.net == "vgg16" else None)
     state = TrainState.create(params, tx)
