@@ -134,6 +134,7 @@ class TpuConfig:
     max_gt_boxes: int = 20                     # MAX_NUM_GT_BOXES
     roi_sampling_ratio: int = 2                # static grid (ref uses adaptive ratio=0)
     nms_tile: int = 256                        # blocked-NMS tile size
+    use_pallas_attention: bool = True          # fused attention kernel (eval)
     compute_dtype: str = "bfloat16"            # conv/matmul dtype; params stay f32
     mesh_axes: Tuple[str, ...] = ("data",)
     donate_state: bool = True

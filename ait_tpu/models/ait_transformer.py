@@ -38,12 +38,14 @@ class EncoderLayer(nn.Module):
     dropout: float
     dist: str
     dtype: Dtype = jnp.float32
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x, mask, *, deterministic=True):
         x, _ = MultiHeadAttention(
             self.n_head, self.d_model, self.d_k, self.d_v, self.dropout,
-            self.dist, self.dtype, name="slf_attn")(
+            self.dist, self.dtype, use_pallas=self.use_pallas,
+            name="slf_attn")(
                 x, x, x, mask, deterministic=deterministic)
         return PositionwiseFeedForward(
             self.d_model, self.d_inner, self.dropout, self.dtype,
@@ -59,16 +61,19 @@ class DecoderLayer(nn.Module):
     dropout: float
     dist: str
     dtype: Dtype = jnp.float32
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x, enc_out, slf_mask, cross_mask, *, deterministic=True):
         x, _ = MultiHeadAttention(
             self.n_head, self.d_model, self.d_k, self.d_v, self.dropout,
-            self.dist, self.dtype, name="slf_attn")(
+            self.dist, self.dtype, use_pallas=self.use_pallas,
+            name="slf_attn")(
                 x, x, x, slf_mask, deterministic=deterministic)
         x, _ = MultiHeadAttention(
             self.n_head, self.d_model, self.d_k, self.d_v, self.dropout,
-            self.dist, self.dtype, name="enc_attn")(
+            self.dist, self.dtype, use_pallas=self.use_pallas,
+            name="enc_attn")(
                 x, enc_out, enc_out, cross_mask, deterministic=deterministic)
         return PositionwiseFeedForward(
             self.d_model, self.d_inner, self.dropout, self.dtype,
@@ -91,6 +96,7 @@ class AITTransformer(nn.Module):
     dist: str = "softmax"
     channels: int = 1024  # in/out feature channels (d_word_vec * 2)
     dtype: Dtype = jnp.float32
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x_props, x_query, *, deterministic: bool = True):
@@ -125,7 +131,8 @@ class AITTransformer(nn.Module):
         for i in range(self.n_layers):
             enc = EncoderLayer(
                 self.d_model, self.d_inner, self.n_head, self.d_k, self.d_v,
-                self.dropout, self.dist, self.dtype, name=f"enc_layer{i}")(
+                self.dropout, self.dist, self.dtype, self.use_pallas,
+                name=f"enc_layer{i}")(
                     enc, src_mask, deterministic=deterministic)
 
         dec = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
@@ -133,7 +140,8 @@ class AITTransformer(nn.Module):
         for i in range(self.n_layers):
             dec = DecoderLayer(
                 self.d_model, self.d_inner, self.n_head, self.d_k, self.d_v,
-                self.dropout, self.dist, self.dtype, name=f"dec_layer{i}")(
+                self.dropout, self.dist, self.dtype, self.use_pallas,
+                name=f"dec_layer{i}")(
                     dec, enc, trg_mask, src_mask, deterministic=deterministic)
 
         out = dec.reshape(bp, hq, wq, d)

@@ -11,18 +11,51 @@ Semantics pinned to the reference NMT-derived package:
 
 Masks here are boolean with True = attend (the reference uses uint8 and
 `masked_fill(mask == 0, -1e9)`, Modules.py:20-21).
+
+MultiHeadAttention owns raw parameter leaves (param-holder submodules keep
+the tree paths `w_qs/kernel`, `sh/sk/{kernel,bias}`, `fc/kernel`,
+`LayerNorm_0/{scale,bias}` stable for checkpoint conversion) so the whole
+block can dispatch to the fused Pallas kernel
+(ops/pallas_attention.fused_sh_attention) on deterministic TPU paths with
+short sequences; the XLA path is the dropout-capable reference math.
 """
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ait_tpu.models.layers import xavier_uniform
+from ait_tpu.ops.pallas_attention import fused_sh_attention
 
 Dtype = Any
+
+xavier_uniform = nn.initializers.xavier_uniform
+
+
+class _P(nn.Module):
+    """Named parameter holder: creates `<name>/<leaf>` paths."""
+
+    leaves: Tuple[tuple, ...]  # ((leaf_name, shape, init), ...)
+
+    @nn.compact
+    def __call__(self):
+        out = {n: self.param(n, init, shape) for n, shape, init in self.leaves}
+        return out if len(out) > 1 else next(iter(out.values()))
+
+
+class _SHParams(nn.Module):
+    d_v: int
+    n_head: int
+
+    @nn.compact
+    def __call__(self):
+        return _P((("kernel", (self.d_v, self.d_v * self.n_head),
+                    nn.initializers.lecun_normal()),
+                   ("bias", (self.d_v * self.n_head,),
+                    nn.initializers.zeros)), name="sk")()
 
 
 def scaled_dot_attention(q, k, v, *, temperature, mask=None, dist="softmax",
@@ -46,27 +79,6 @@ def scaled_dot_attention(q, k, v, *, temperature, mask=None, dist="softmax",
     return out, attn
 
 
-class SHBlock(nn.Module):
-    """Selective-heads gate (SubLayers.py:9-39).
-
-    x: [B, n_head, T, d_v] -> gated x (same shape); caller sums over heads.
-    """
-
-    n_head: int
-    d_v: int
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        u = jnp.sum(x, axis=1)            # [B, T, d_v]
-        s = jnp.mean(u, axis=1)           # [B, d_v]  (GAP over tokens)
-        gate = nn.Dense(self.d_v * self.n_head, dtype=self.dtype,
-                        name="sk")(s)
-        gate = gate.reshape(-1, self.n_head, self.d_v)
-        gate = nn.softmax(gate.astype(jnp.float32), axis=1).astype(x.dtype)
-        return x * gate[:, :, None, :]
-
-
 class MultiHeadAttention(nn.Module):
     """MHA with selective-head collapse (SubLayers.py:41-102)."""
 
@@ -78,21 +90,73 @@ class MultiHeadAttention(nn.Module):
     dist: str = "softmax"
     dtype: Dtype = jnp.float32
     kernel_init: Any = xavier_uniform()
+    use_pallas: bool = True
+    pallas_max_tokens: int = 128  # fused path only for short sequences
 
     @nn.compact
     def __call__(self, q, k, v, mask: Optional[jnp.ndarray] = None,
                  *, deterministic: bool = True):
         b, lq = q.shape[0], q.shape[1]
+        lk = k.shape[1]
         residual = q
 
-        def proj(x, d, name):
-            y = nn.Dense(self.n_head * d, use_bias=False, dtype=self.dtype,
-                         kernel_init=self.kernel_init, name=name)(x)
-            return y.reshape(b, x.shape[1], self.n_head, d).transpose(0, 2, 1, 3)
+        init = self.kernel_init
+        wq = _P((("kernel", (q.shape[-1], self.n_head * self.d_k), init),),
+                name="w_qs")()
+        wk = _P((("kernel", (k.shape[-1], self.n_head * self.d_k), init),),
+                name="w_ks")()
+        wv = _P((("kernel", (v.shape[-1], self.n_head * self.d_v), init),),
+                name="w_vs")()
+        if self.n_head > 1:
+            sh = _SHParams(self.d_v, self.n_head, name="sh")()
+            fc_in = self.d_v
+        else:
+            sh = None
+            fc_in = self.n_head * self.d_v
+        fc = _P((("kernel", (fc_in, self.d_model), init),), name="fc")()
+        ln = _P((("scale", (self.d_model,), nn.initializers.ones),
+                 ("bias", (self.d_model,), nn.initializers.zeros)),
+                name="LayerNorm_0")()
 
-        qh = proj(q, self.d_k, "w_qs")
-        kh = proj(k, self.d_k, "w_ks")
-        vh = proj(v, self.d_v, "w_vs")
+        fuse = (self.use_pallas and deterministic and self.n_head > 1 and
+                self.dist == "softmax" and
+                k is v and lq <= self.pallas_max_tokens and
+                lk <= self.pallas_max_tokens)
+        if fuse:
+            if mask is None:
+                mask2d = jnp.ones((lq, lk), bool)
+            else:
+                mask2d = jnp.broadcast_to(mask[0], (lq, lk))
+            dt = self.dtype
+            args = (q.astype(dt), k.astype(dt),
+                    wq.astype(dt), wk.astype(dt), wv.astype(dt),
+                    sh["kernel"].astype(dt), sh["bias"].astype(dt),
+                    fc.astype(dt), ln["scale"], ln["bias"], mask2d)
+
+            def kernel_branch(*a):
+                return fused_sh_attention(*a, self.n_head, self.d_k,
+                                          self.d_v, self.dist)
+
+            def ref_branch(*a):
+                from ait_tpu.ops.pallas_attention import _reference_impl
+                return _reference_impl(*a, n_head=self.n_head,
+                                       d_k=self.d_k, d_v=self.d_v,
+                                       dist=self.dist)
+
+            # kernel only exists for real TPU lowering; every other
+            # platform (CPU tests, CPU-device init) takes the jnp path
+            out = jax.lax.platform_dependent(
+                *args, tpu=kernel_branch, default=ref_branch)
+            return out, None
+
+        def proj(x, w, d):
+            y = (x.astype(self.dtype) @ w.astype(self.dtype))
+            return y.reshape(b, x.shape[1], self.n_head, d).transpose(
+                0, 2, 1, 3)
+
+        qh = proj(q, wq, self.d_k)
+        kh = proj(k, wk, self.d_k)
+        vh = proj(v, wv, self.d_v)
 
         if mask is not None:
             mask = mask[:, None]  # head axis
@@ -103,19 +167,26 @@ class MultiHeadAttention(nn.Module):
             dist=self.dist, dropout=attn_drop)
 
         if self.n_head > 1:
-            out = SHBlock(self.n_head, self.d_v, self.dtype, name="sh")(out)
-            out = jnp.sum(out, axis=1)  # collapse heads: [B, lq, d_v]
-            fc_in = self.d_v
+            # SHBlock gate (SubLayers.py:9-39)
+            u = jnp.sum(out, axis=1)                # [B, T, d_v]
+            s = jnp.mean(u, axis=1)                 # [B, d_v]
+            gate = s @ sh["kernel"].astype(s.dtype) + \
+                sh["bias"].astype(s.dtype)
+            gate = gate.reshape(b, self.n_head, self.d_v)
+            gate = nn.softmax(gate.astype(jnp.float32), axis=1)
+            out = out * gate.astype(out.dtype)[:, :, None, :]
+            out = jnp.sum(out, axis=1)              # [B, lq, d_v]
         else:
             out = out.transpose(0, 2, 1, 3).reshape(b, lq, -1)
-            fc_in = self.n_head * self.d_v
-        del fc_in
-        out = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
-                       kernel_init=self.kernel_init, name="fc")(out)
+        out = out @ fc.astype(out.dtype)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
         out = out + residual
-        out = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(out)
-        return out, attn
+        outf = out.astype(jnp.float32)
+        mu = jnp.mean(outf, axis=-1, keepdims=True)
+        var = jnp.mean((outf - mu) ** 2, axis=-1, keepdims=True)
+        outf = (outf - mu) * jax.lax.rsqrt(var + 1e-6) * ln["scale"] + \
+            ln["bias"]
+        return outf.astype(self.dtype), attn
 
 
 class PositionwiseFeedForward(nn.Module):

@@ -99,7 +99,8 @@ class AITDetector(nn.Module):
             n_head=mc.t_n_head, d_k=mc.t_d_k, d_v=mc.t_d_v,
             n_position=mc.t_n_position, dropout=mc.t_dropout,
             causal_mask=mc.t_causal_mask, dist=mc.t_attn_dist,
-            channels=ch, dtype=self.dtype)
+            channels=ch, dtype=self.dtype,
+            use_pallas=c.tpu.use_pallas_attention)
         self.sk = SKNet(ch, gate=mc.sk_gate, dtype=self.dtype)
 
         # heads (resnet_sys_transformer_sk_dilat.py:425-433; init
