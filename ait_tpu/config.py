@@ -135,6 +135,7 @@ class TpuConfig:
     roi_sampling_ratio: int = 2                # static grid (ref uses adaptive ratio=0)
     nms_tile: int = 256                        # blocked-NMS tile size
     use_pallas_attention: bool = True          # fused attention kernel (eval)
+    input_uint8: bool = True                   # ship uint8, normalize on device
     compute_dtype: str = "bfloat16"            # conv/matmul dtype; params stay f32
     mesh_axes: Tuple[str, ...] = ("data",)
     donate_state: bool = True

@@ -56,6 +56,7 @@ class OneShotLoader:
         self.rng = np.random.RandomState(
             cfg.RNG_SEED if seed is None else seed)
         self.query_position = 0
+        self.uint8 = bool(getattr(cfg.tpu, "input_uint8", False))
 
         if training:
             if cfg.TRAIN.USE_FLIPPED:
@@ -82,16 +83,19 @@ class OneShotLoader:
             im = im[:, ::-1, :]
         scales = (self.cfg.TRAIN.SCALES if self.training
                   else self.cfg.TEST.SCALES)
-        im, scale = prep_image(im, scales[0], max_hw=self.canvas)
+        im, scale = prep_image(im, scales[0], max_hw=self.canvas,
+                               keep_uint8=self.uint8)
         h, w = im.shape[:2]
         return place_on_canvas(im, self.canvas), h, w, scale
 
     def _prep_query(self, exemplar, flip: bool) -> np.ndarray:
         im = _read(exemplar.image_path)
+        # the reference resizes the uint8 crop BEFORE normalizing
+        # (roibatchLoader.py:318-329), so uint8 mode is exactly faithful here
         q = crop_query(im, exemplar.box, self.query_size)
         if flip:
             q = q[:, ::-1, :]
-        return normalize(q)
+        return np.ascontiguousarray(q) if self.uint8 else normalize(q)
 
     # ------------------------------------------------------------------
     def train_item(self, index: int) -> Dict[str, np.ndarray]:

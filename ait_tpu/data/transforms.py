@@ -38,10 +38,17 @@ def normalize(im: np.ndarray) -> np.ndarray:
 
 
 def prep_image(im: np.ndarray, target_size: int,
-               max_hw: Tuple[int, int] | None = None
-               ) -> Tuple[np.ndarray, float]:
-    """Normalize + shortest-side scale (optionally capped to fit max_hw)."""
-    im = normalize(to_rgb3(im))
+               max_hw: Tuple[int, int] | None = None,
+               keep_uint8: bool = False) -> Tuple[np.ndarray, float]:
+    """Shortest-side scale (optionally capped to fit max_hw) + normalize.
+
+    keep_uint8 resizes the raw uint8 image and skips normalization — the
+    device does `(x/255 - mean)/std` instead (4x less host->device traffic;
+    differs from the reference's normalize-then-resize by sub-LSB rounding).
+    """
+    im = to_rgb3(im)
+    if not keep_uint8:
+        im = normalize(im)
     h, w = im.shape[:2]
     scale = float(target_size) / min(h, w)
     if max_hw is not None:
@@ -72,7 +79,8 @@ def crop_query(image: np.ndarray, box, query_size: int) -> np.ndarray:
 
 
 def place_on_canvas(im: np.ndarray, canvas_hw: Tuple[int, int]) -> np.ndarray:
-    out = np.zeros((canvas_hw[0], canvas_hw[1], 3), np.float32)
+    out = np.zeros((canvas_hw[0], canvas_hw[1], 3), im.dtype
+                   if im.dtype == np.uint8 else np.float32)
     h = min(im.shape[0], canvas_hw[0])
     w = min(im.shape[1], canvas_hw[1])
     out[:h, :w, :] = im[:h, :w, :]

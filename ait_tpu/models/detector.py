@@ -43,6 +43,17 @@ from ait_tpu.ops.roi_pool import roi_pool
 
 Dtype = Any
 
+# torchvision normalization constants (blob.py:42-48); applied on device
+# when inputs arrive as uint8 (cfg.tpu.input_uint8 — 4x less H2D traffic)
+_NORM_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+_NORM_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+
+
+def _to_model_input(x, dtype):
+    if x.dtype == jnp.uint8:
+        x = (x.astype(jnp.float32) / 255.0 - _NORM_MEAN) / _NORM_STD
+    return x.astype(dtype)
+
 
 class DetectorOut(NamedTuple):
     rois: jnp.ndarray
@@ -121,8 +132,8 @@ class AITDetector(nn.Module):
         det = not train
         b = image.shape[0]
 
-        image_feat = self.backbone(image.astype(self.dtype))
-        query_feat = self.backbone(query.astype(self.dtype))
+        image_feat = self.backbone(_to_model_input(image, self.dtype))
+        query_feat = self.backbone(_to_model_input(query, self.dtype))
         non_img, non_qry = self.coattention(image_feat, query_feat,
                                             deterministic=det)
 
@@ -137,6 +148,10 @@ class AITDetector(nn.Module):
             pre_nms_topk=tc.RPN_PRE_NMS_TOP_N,
             post_nms_topk=tc.RPN_POST_NMS_TOP_N,
             nms_thresh=tc.RPN_NMS_THRESH)
+        # proposals are data, not a differentiable path — the reference's
+        # proposal layer has a no-op backward (proposal_layer.py:168-170);
+        # this also keeps the NMS/top-k machinery out of the backward pass
+        rois = jax.lax.stop_gradient(rois)
 
         zero = jnp.zeros((), jnp.float32)
         rpn_loss_cls = rpn_loss_box = zero

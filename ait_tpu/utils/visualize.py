@@ -32,7 +32,9 @@ def draw_detections(image: np.ndarray, dets: np.ndarray,
 
 
 def denormalize_query(query: np.ndarray) -> np.ndarray:
-    """[128, 128, 3] normalized floats -> uint8 RGB."""
+    """[128, 128, 3] normalized floats (or raw uint8) -> uint8 RGB."""
+    if query.dtype == np.uint8:
+        return query
     q = query * TORCHVISION_STD + TORCHVISION_MEAN
     return np.clip(q * 255.0, 0, 255).astype(np.uint8)
 
