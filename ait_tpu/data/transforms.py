@@ -79,8 +79,18 @@ def crop_query(image: np.ndarray, box, query_size: int) -> np.ndarray:
 
 
 def place_on_canvas(im: np.ndarray, canvas_hw: Tuple[int, int]) -> np.ndarray:
-    out = np.zeros((canvas_hw[0], canvas_hw[1], 3), im.dtype
-                   if im.dtype == np.uint8 else np.float32)
+    """Top-left placement on a canvas that normalizes to ~zero.
+
+    The reference pads batches with zeros in NORMALIZED space
+    (im_list_to_blob, blob.py:27-31); a uint8 canvas therefore pads with the
+    mean pixel value so the device-side normalize maps the padding to ~0.
+    """
+    if im.dtype == np.uint8:
+        fill = np.round(TORCHVISION_MEAN * 255.0).astype(np.uint8)
+        out = np.empty((canvas_hw[0], canvas_hw[1], 3), np.uint8)
+        out[:] = fill
+    else:
+        out = np.zeros((canvas_hw[0], canvas_hw[1], 3), np.float32)
     h = min(im.shape[0], canvas_hw[0])
     w = min(im.shape[1], canvas_hw[1])
     out[:h, :w, :] = im[:h, :w, :]

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ait_tpu.config import Config
-from ait_tpu.data import DatasetView, ImageRecord, OneShotLoader, QueryExemplar
+from ait_tpu.data import (DatasetView, ImageRecord, OneShotLoader,
+                          QueryExemplar, device_prefetch)
 from ait_tpu.evaluation import evaluate_voc, postprocess_detections
 from ait_tpu.models import AITDetector
 from ait_tpu.train import (TrainState, init_params, lr_schedule,
@@ -109,8 +110,8 @@ def main(argv=None):
     it = 0
     first_loss = None
     while it < args.steps:
-        for batch in loader.train_epoch(args.bs, num_workers=8):
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        for batch in device_prefetch(
+                loader.train_epoch(args.bs, num_workers=8)):
             state, metrics = step(state, batch, rng)
             it += 1
             if it == 1 or it % 25 == 0:

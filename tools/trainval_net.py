@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ait_tpu.config import Config
-from ait_tpu.data import OneShotLoader
+from ait_tpu.data import OneShotLoader, device_prefetch
 from ait_tpu.data import coco as coco_data
 from ait_tpu.data import voc as voc_data
 from ait_tpu.models import AITDetector
@@ -231,12 +231,14 @@ def main(argv=None):
         for m in meters.values():
             m.reset()
         thru.reset()
-        for it, batch in enumerate(loader.train_epoch(
-                args.batch_size, num_workers=args.num_workers)):
+        from ait_tpu.parallel import batch_sharding
+        batches = device_prefetch(
+            loader.train_epoch(args.batch_size,
+                               num_workers=args.num_workers),
+            sharding=batch_sharding(mesh))
+        for it, batch in enumerate(batches):
             if args.debug and it >= 5:
                 break
-            batch = shard_batch(
-                {k: jnp.asarray(v) for k, v in batch.items()}, mesh)
             state, metrics = step_fn(state, batch, rng)
             thru.tick(args.batch_size)
             if (it + 1) % args.disp_interval == 0 or args.debug:
