@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -33,6 +34,15 @@ STAGES = {
     "resnet101": (3, 4, 23, 3),
     "resnet152": (3, 8, 36, 3),
 }
+
+
+class _Conv1Kernel(nn.Module):
+    """Raw stem kernel (path `conv1/kernel`, same init as nn.Conv)."""
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (7, 7, 3, 64))
 
 
 class Bottleneck(nn.Module):
@@ -86,12 +96,32 @@ class ResNetBackbone(nn.Module):
 
     variant: str = "resnet50"
     dtype: Dtype = jnp.float32
+    s2d_stem: bool = True
 
     @nn.compact
     def __call__(self, x):
         n1, n2, n3, _ = STAGES[self.variant]
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
+        w = _Conv1Kernel(name="conv1")()          # [7, 7, 3, 64]
+        x = x.astype(self.dtype)
+        if self.s2d_stem and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            # space-to-depth rewrite of conv 7x7/2: mathematically exact
+            # (the 7x7 kernel zero-pads to 8x8 and regroups into 4x4 over
+            # 2x2x3=12 input planes), but the contraction depth grows
+            # 147 -> 768, which the 128-lane MXU runs near-dense instead of
+            # at 3/128 occupancy — the classic TPU ResNet stem rewrite.
+            b, h, wd, _ = x.shape
+            y = x.reshape(b, h // 2, 2, wd // 2, 2, 3)
+            y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, wd // 2, 12)
+            w8 = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+            w4 = w8.reshape(4, 2, 4, 2, 3, 64).transpose(0, 2, 1, 3, 4, 5)
+            w4 = w4.reshape(4, 4, 12, 64).astype(self.dtype)
+            x = jax.lax.conv_general_dilated(
+                y, w4, (1, 1), ((2, 1), (2, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        else:
+            x = jax.lax.conv_general_dilated(
+                x, w.astype(self.dtype), (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         x = FrozenBatchNorm(64, name="bn1")(x)
         x = nn.relu(x)
         x = max_pool_ceil(x, 3, 2)

@@ -148,6 +148,23 @@ def run_pass(loader, eval_step, post, params, args, allowed):
 def main(argv=None):
     args = parse_args(argv)
     cfg = build_config(args)
+    # adopt train-time architecture knobs saved next to the checkpoint
+    # (the reference restores POOLING_MODE from its ckpt dict,
+    # test_net_voc.py:277-278)
+    run_dir = os.path.dirname(args.checkpoint_path) if args.checkpoint_path \
+        else os.path.join(args.save_dir, args.net, args.dataset,
+                          args.version)
+    cfg_json = os.path.join(run_dir, "config.json")
+    if os.path.exists(cfg_json):
+        import json
+        saved = json.load(open(cfg_json))
+        cfg = cfg.override(["POOLING_MODE", repr(saved["POOLING_MODE"])])
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, sk_gate=saved["model"]["sk_gate"],
+            t_causal_mask=saved["model"]["t_causal_mask"],
+            t_attn_dist=saved["model"]["t_attn_dist"],
+            coatt_normalization=saved["model"]["coatt_normalization"]))
+        printer("Adopted train-time knobs from ", cfg_json)
     view = build_view(args, cfg)
     printer(f"{len(view.records)} eval images, "
             f"{len(view.allowed_classes)} classes under test")
