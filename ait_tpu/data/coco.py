@@ -93,8 +93,10 @@ def load_coco(data_path: str, year: str, image_set: str,
         path = os.path.join(data_path, "images", data_name,
                             _image_file_name(im, data_name))
         boxes, cls, crowd = [], [], []
-        save_seq = (set(reference[im_id].keys())
-                    if reference is not None and im_id in reference else None)
+        # with a reference pkl, images absent from it contribute no query
+        # crops (the reference indexes it unconditionally, coco.py:195)
+        save_seq = (set(reference.get(im_id, {}).keys())
+                    if reference is not None else None)
         for i, ann in enumerate(gt.anns_by_image.get(im_id, [])):
             bx, by, bw, bh = ann["bbox"]
             x1 = max(0.0, bx)
