@@ -79,7 +79,6 @@ def convert_backbone(state_dict: Dict[str, "object"],
             elif mod.startswith("bn"):
                 _bn(root + (block, mod), leaf, val, out)
             elif mod == "downsample":
-                sub = "downsample_conv" if parts[3] == "0" else None
                 idx, leaf = parts[3], parts[4]
                 if idx == "0":
                     _set(out, root + (block, "downsample_conv", "kernel"),
@@ -259,8 +258,6 @@ def convert_detector(state_dict: Dict[str, "object"]) -> dict:
                     continue
             continue
         if parts[0] == "sk":
-            m = re.match(r"sk\.(sk_props|sk_query)\.(.+)",
-                         key if not key.startswith("module.") else key[7:])
             rest = ".".join(parts[2:])
             branch = parts[1]
             mm = re.match(r"convs\.(\d)\.0\.(weight|bias)", rest)

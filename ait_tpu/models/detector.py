@@ -83,11 +83,9 @@ class AITDetector(nn.Module):
         if mc.backbone.startswith("resnet"):
             self.backbone = ResNetBackbone(mc.backbone, dtype=self.dtype)
             self.top = ResNetTop(mc.backbone, dtype=self.dtype)
-            head_dim = 2048
         elif mc.backbone == "vgg16":
             self.backbone = VGGBackbone(dtype=self.dtype)
             self.top = VGGTop(dtype=self.dtype)
-            head_dim = 4096
         else:
             raise ValueError(mc.backbone)
 
@@ -124,7 +122,6 @@ class AITDetector(nn.Module):
         self.bbox_pred_head = nn.Dense(
             n_box, kernel_init=nn.initializers.normal(0.001),
             dtype=self.dtype)
-        del head_dim
 
     def __call__(self, image, query, im_info, gt_boxes, num_boxes,
                  *, train: bool = False):

@@ -5,9 +5,8 @@ NHWC layout throughout (TPU-native); the reference is NCHW torch.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 from jax import lax

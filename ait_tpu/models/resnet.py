@@ -18,7 +18,7 @@ shipped config (`with_contextual_relation=False`, `:234`) and is not rebuilt.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

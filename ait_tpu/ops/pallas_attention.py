@@ -19,7 +19,6 @@ who differentiates the fused path.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -149,8 +148,9 @@ def _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
     sk_b = sk_b.reshape(n_head, d_v)
 
     def full(shape):
+        # constant index_map: the pipeline keeps these blocks resident
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
-                            memory_space=pltpu.ANY if False else pltpu.VMEM)
+                            memory_space=pltpu.VMEM)
 
     kern = functools.partial(_kernel, n_head=n_head, d_k=d_k, d_v=d_v,
                              dist=dist)

@@ -16,8 +16,6 @@ The LR schedule is the reference's step decay: x GAMMA every
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import optax
 

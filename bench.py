@@ -16,7 +16,6 @@ import json
 import time
 
 import jax
-import jax.numpy as jnp
 
 REFERENCE_PAIRS_PER_SEC_PER_CHIP = 8 / 1.088 / 4  # forward-only, see above
 

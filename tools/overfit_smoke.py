@@ -13,7 +13,6 @@ Usage: python tools/overfit_smoke.py [--steps 300] [--bs 8] [--lr 0.01]
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 import sys
 import tempfile

@@ -32,7 +32,6 @@ if os.environ.get("AIT_PLATFORM"):
 import jax.numpy as jnp
 import numpy as np
 
-from ait_tpu.config import Config
 from ait_tpu.data import OneShotLoader
 from ait_tpu.data import coco as coco_data
 from ait_tpu.data import voc as voc_data

@@ -19,7 +19,6 @@ import argparse
 import dataclasses
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -37,7 +36,7 @@ from ait_tpu.data import OneShotLoader, device_prefetch
 from ait_tpu.data import coco as coco_data
 from ait_tpu.data import voc as voc_data
 from ait_tpu.models import AITDetector
-from ait_tpu.parallel import make_mesh, replicate, shard_batch
+from ait_tpu.parallel import make_mesh, replicate
 from ait_tpu.train import (TrainState, init_params, lr_schedule,
                            make_optimizer, make_train_step)
 from ait_tpu.train.checkpoint import CheckpointManager, save_config
