@@ -136,6 +136,7 @@ class TpuConfig:
     nms_tile: int = 256                        # blocked-NMS tile size
     use_pallas_attention: bool = True          # fused attention kernel (eval)
     input_uint8: bool = True                   # ship uint8, normalize on device
+    portrait_bucket: bool = True               # transposed canvas for tall images
     compute_dtype: str = "bfloat16"            # conv/matmul dtype; params stay f32
     mesh_axes: Tuple[str, ...] = ("data",)
     donate_state: bool = True

@@ -57,6 +57,8 @@ class OneShotLoader:
             cfg.RNG_SEED if seed is None else seed)
         self.query_position = 0
         self.uint8 = bool(getattr(cfg.tpu, "input_uint8", False))
+        self.portrait_bucket = bool(getattr(cfg.tpu, "portrait_bucket",
+                                            False))
 
         if training:
             if cfg.TRAIN.USE_FLIPPED:
@@ -77,16 +79,29 @@ class OneShotLoader:
     def __len__(self):
         return len(self.view.records) if self.training else len(self.pairs)
 
+    def _canvas_for(self, rec) -> tuple:
+        """Landscape or portrait canvas bucket for one record.
+
+        The TPU analog of the reference's aspect-ratio batch grouping
+        (roibatchLoader.py:51-69): two static canvases (the configured one
+        and its transpose), batches kept orientation-homogeneous so each
+        shape compiles once.  Without the bucket, portrait images are
+        scaled down to fit the landscape canvas."""
+        if self.portrait_bucket and rec.height > rec.width:
+            return (self.canvas[1], self.canvas[0])
+        return self.canvas
+
     def _prep_image(self, rec):
         im = _read(rec.image_path)
         if rec.flipped:
             im = im[:, ::-1, :]
         scales = (self.cfg.TRAIN.SCALES if self.training
                   else self.cfg.TEST.SCALES)
-        im, scale = prep_image(im, scales[0], max_hw=self.canvas,
+        canvas = self._canvas_for(rec)
+        im, scale = prep_image(im, scales[0], max_hw=canvas,
                                keep_uint8=self.uint8)
         h, w = im.shape[:2]
-        return place_on_canvas(im, self.canvas), h, w, scale
+        return place_on_canvas(im, canvas), h, w, scale
 
     def _prep_query(self, exemplar, flip: bool) -> np.ndarray:
         im = _read(exemplar.image_path)
@@ -161,15 +176,30 @@ class OneShotLoader:
     def _collate(self, items: List[Dict[str, np.ndarray]]):
         return {k: np.stack([it[k] for it in items]) for k in items[0]}
 
+    def _orientation_groups(self, order, key_fn):
+        """Split an index order into canvas-homogeneous groups."""
+        if not self.portrait_bucket:
+            return [order]
+        groups: Dict[tuple, list] = {}
+        for idx in order:
+            groups.setdefault(key_fn(idx), []).append(idx)
+        return list(groups.values())
+
     def train_epoch(self, batch_size: int, *, num_workers: int = 8,
                     prefetch: int = 4) -> Iterator[Dict[str, np.ndarray]]:
         """Shuffled fixed-size batches; the tail wraps around (the reference
-        sampler's leftover handling, trainval_net_voc.py:160-162)."""
+        sampler's leftover handling, trainval_net_voc.py:160-162).  With the
+        portrait bucket, batches are canvas-homogeneous and the two shapes
+        interleave in shuffled order."""
         order = self.rng.permutation(len(self)).tolist()
-        pad = (-len(order)) % batch_size
-        order = order + order[:pad]
-        batches = [order[i:i + batch_size]
-                   for i in range(0, len(order), batch_size)]
+        batches = []
+        for group in self._orientation_groups(
+                order, lambda i: self._canvas_for(self.view.records[i])):
+            pad = (-len(group)) % batch_size
+            group = group + group[:pad]
+            batches.extend(group[i:i + batch_size]
+                           for i in range(0, len(group), batch_size))
+        self.rng.shuffle(batches)
         yield from self._pipeline(batches, self.train_item, num_workers,
                                   prefetch)
 
@@ -178,10 +208,15 @@ class OneShotLoader:
         """All (image, class) pairs in order; tail padded by repeating the
         last pair (consumers dedupe via 'pair_index')."""
         order = list(range(len(self.pairs)))
-        pad = (-len(order)) % batch_size
-        order = order + [order[-1]] * pad if order else order
-        batches = [order[i:i + batch_size]
-                   for i in range(0, len(order), batch_size)]
+        batches = []
+        for group in self._orientation_groups(
+                order,
+                lambda i: self._canvas_for(
+                    self.view.records[self.pairs[i][0]])):
+            pad = (-len(group)) % batch_size
+            group = group + [group[-1]] * pad
+            batches.extend(group[i:i + batch_size]
+                           for i in range(0, len(group), batch_size))
         yield from self._pipeline(batches, self.test_item, num_workers,
                                   prefetch)
 
