@@ -84,9 +84,8 @@ def parse_args(argv=None):
 
 def build_config(args) -> Config:
     suffix = "_ls" if args.large_scale else ""
-    name = (f"{args.net.replace('res', 'res')}_{args.group}{suffix}"
-            if args.group != 0 else f"{args.net}{suffix}")
-    name = name.replace("res", "res")  # res50 -> res50
+    name = (f"{args.net}_{args.group}{suffix}" if args.group != 0
+            else f"{args.net}{suffix}")
     cfg_file = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "cfgs", f"{name}.yml")
     cfg = Config.from_yaml(cfg_file) if os.path.exists(cfg_file) else Config()
