@@ -16,8 +16,10 @@ MultiHeadAttention owns raw parameter leaves (param-holder submodules keep
 the tree paths `w_qs/kernel`, `sh/sk/{kernel,bias}`, `fc/kernel`,
 `LayerNorm_0/{scale,bias}` stable for checkpoint conversion) so the whole
 block can dispatch to the fused Pallas kernel
-(ops/pallas_attention.fused_sh_attention) on deterministic TPU paths with
-short sequences; the XLA path is the dropout-capable reference math.
+(ops/pallas_attention.fused_sh_attention) on TPU for short sequences —
+including training, where dropout keep-masks are generated here from the
+module's `dropout` rng and applied inside the kernel; the XLA path remains
+as the reference math for long sequences / other dists / other platforms.
 """
 
 from __future__ import annotations
@@ -28,7 +30,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ait_tpu.ops.pallas_attention import fused_sh_attention
+from ait_tpu.ops.pallas_attention import (fused_sh_attention,
+                                          fused_sh_attention_dropout)
 
 Dtype = Any
 
@@ -92,6 +95,9 @@ class MultiHeadAttention(nn.Module):
     kernel_init: Any = xavier_uniform()
     use_pallas: bool = True
     pallas_max_tokens: int = 128  # fused path only for short sequences
+    # training-path fusion (fused forward + fused recompute-backward
+    # kernels, dropout via keep-mask operands); escape hatch for ablation
+    use_pallas_train: bool = True
 
     @nn.compact
     def __call__(self, q, k, v, mask: Optional[jnp.ndarray] = None,
@@ -118,10 +124,12 @@ class MultiHeadAttention(nn.Module):
                  ("bias", (self.d_model,), nn.initializers.zeros)),
                 name="LayerNorm_0")()
 
-        fuse = (self.use_pallas and deterministic and self.n_head > 1 and
+        fuse = (self.use_pallas and self.n_head > 1 and
                 self.dist == "softmax" and
                 k is v and lq <= self.pallas_max_tokens and
-                lk <= self.pallas_max_tokens)
+                lk <= self.pallas_max_tokens and
+                (deterministic or self.use_pallas_train or
+                 self.dropout == 0.0))
         if fuse:
             if mask is None:
                 mask2d = jnp.ones((lq, lk), bool)
@@ -132,16 +140,37 @@ class MultiHeadAttention(nn.Module):
                     wq.astype(dt), wk.astype(dt), wv.astype(dt),
                     sh["kernel"].astype(dt), sh["bias"].astype(dt),
                     fc.astype(dt), ln["scale"], ln["bias"], mask2d)
+            from ait_tpu.ops.pallas_attention import _reference_impl
 
-            def kernel_branch(*a):
-                return fused_sh_attention(*a, self.n_head, self.d_k,
-                                          self.d_v, self.dist)
+            if not deterministic and self.dropout > 0.0:
+                # dropout keep-masks generated outside, applied in-kernel
+                # (the custom VJP replays the same masks — exact gradient)
+                keep = 1.0 - self.dropout
+                r1, r2 = jax.random.split(self.make_rng("dropout"))
+                attn_keep = jax.random.bernoulli(
+                    r1, keep, (b, self.n_head, lq, lk)).astype(dt)
+                out_keep = jax.random.bernoulli(
+                    r2, keep, (b, lq, self.d_model)).astype(dt)
+                args = args + (attn_keep, out_keep)
 
-            def ref_branch(*a):
-                from ait_tpu.ops.pallas_attention import _reference_impl
-                return _reference_impl(*a, n_head=self.n_head,
-                                       d_k=self.d_k, d_v=self.d_v,
-                                       dist=self.dist)
+                def kernel_branch(*a):
+                    return fused_sh_attention_dropout(
+                        *a, self.n_head, self.d_k, self.d_v, self.dist,
+                        keep)
+
+                def ref_branch(*a):
+                    return _reference_impl(*a, n_head=self.n_head,
+                                           d_k=self.d_k, d_v=self.d_v,
+                                           dist=self.dist, keep_prob=keep)
+            else:
+                def kernel_branch(*a):
+                    return fused_sh_attention(*a, self.n_head, self.d_k,
+                                              self.d_v, self.dist)
+
+                def ref_branch(*a):
+                    return _reference_impl(*a, n_head=self.n_head,
+                                           d_k=self.d_k, d_v=self.d_v,
+                                           dist=self.dist)
 
             # kernel only exists for real TPU lowering; every other
             # platform (CPU tests, CPU-device init) takes the jnp path

@@ -9,11 +9,14 @@ mask, softmax, the SK-style head gate, head collapse, output projection,
 residual add and LayerNorm — runs in one kernel with every intermediate in
 VMEM and the weights resident across the pair-batch grid.
 
-Numerics match attention.MultiHeadAttention with dropout disabled (the
-kernel is used on deterministic paths; training falls back to the XLA
-implementation so dropout/autodiff semantics stay bit-identical to the
-reference).  A custom VJP recomputes through the jnp reference for anyone
-who differentiates the fused path.
+Numerics match attention.MultiHeadAttention exactly.  Dropout (the
+reference applies it to the post-softmax attention probabilities and to the
+output projection, SubLayers.py:56-99) is supported by passing precomputed
+keep-masks as kernel operands — the masks are generated with the module's
+own `dropout` rng stream outside the kernel, so forward and backward see
+the same masks and the VJP (which recomputes through the jnp reference) is
+exact.  A custom VJP recomputes through the jnp reference for anyone who
+differentiates the fused path.
 """
 
 from __future__ import annotations
@@ -27,8 +30,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _reference_impl(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
-                    mask, *, n_head, d_k, d_v, dist):
-    """jnp math identical to attention.MultiHeadAttention (deterministic)."""
+                    mask, attn_keep=None, out_keep=None, *, n_head, d_k,
+                    d_v, dist, keep_prob=1.0):
+    """jnp math identical to attention.MultiHeadAttention.
+
+    attn_keep [P,H,Tq,Tk] / out_keep [P,Tq,D] are 0/1 dropout keep-masks
+    (1 = keep, value scaled by 1/keep_prob) matching flax nn.Dropout applied
+    to the attention probabilities and the output projection.  Pass them in
+    a narrow float dtype (bf16): bool crosses the pallas ABI as s32.
+    """
     p, tq, d = x_q.shape
     tk = x_kv.shape[1]
     q = (x_q.reshape(p * tq, d) @ wq).reshape(p, tq, n_head, d_k)
@@ -45,6 +55,10 @@ def _reference_impl(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
         attn = jax.nn.softmax(attn, axis=-1)
     else:
         attn = attn / attn.shape[-1]
+    if attn_keep is not None:
+        # keep-masks arrive as 0/1 in a narrow float dtype (bool operands
+        # cross the pallas ABI as s32 — 4x the HBM traffic)
+        attn = attn * attn_keep.astype(attn.dtype) * (1.0 / keep_prob)
     o = jnp.einsum("phts,phsd->phtd", attn.astype(v.dtype), v,
                    preferred_element_type=jnp.float32).astype(v.dtype)
     u = jnp.sum(o, axis=1)
@@ -53,6 +67,9 @@ def _reference_impl(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
     gate = jax.nn.softmax(gate.astype(jnp.float32), axis=1).astype(o.dtype)
     o = jnp.sum(o * gate[:, :, None, :], axis=1)
     y = (o.reshape(p * tq, d_v) @ fc_w).reshape(p, tq, d)
+    if out_keep is not None:
+        y = y * out_keep.astype(y.dtype) * \
+            jnp.asarray(1.0 / keep_prob, y.dtype)
     y = y + x_q
     yf = y.astype(jnp.float32)
     mu = jnp.mean(yf, axis=-1, keepdims=True)
@@ -62,11 +79,19 @@ def _reference_impl(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
 
 
 def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
-            fcw_ref, lns_ref, lnb_ref, mask_ref, out_ref, *, n_head, d_k,
-            d_v, dist):
+            fcw_ref, lns_ref, lnb_ref, mask_ref, *rest, n_head, d_k,
+            d_v, dist, keep_prob):
     """Mosaic constraints shape this kernel: the lane (minor) dimension can
     never be split by a reshape, so weights arrive per-head ([H, D, d]) and
-    heads/pairs are static python loops over 2-D MXU matmuls."""
+    heads/pairs are static python loops over 2-D MXU matmuls.
+
+    With dropout, `rest` is (attn_keep_ref, out_keep_ref, out_ref); the
+    keep-masks ride the same pair-batch grid as the activations."""
+    if len(rest) == 3:
+        ak_ref, ok_ref, out_ref = rest
+    else:
+        ak_ref, ok_ref = None, None
+        (out_ref,) = rest
     xq = xq_ref[:]
     xkv = xkv_ref[:]
     p, tq, d = xq.shape
@@ -76,6 +101,7 @@ def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
 
     mask = mask_ref[:]
     scale = 1.0 / (d_k ** 0.5)
+    inv_keep = 1.0 / keep_prob
 
     o_heads = []                                    # per head: [P, Tq, dv]
     u = jnp.zeros((p, tq, d_v), jnp.float32)
@@ -96,6 +122,8 @@ def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
                 attn = jax.nn.softmax(attn, axis=-1)
             else:
                 attn = attn / tk
+            if ak_ref is not None:
+                attn = attn * ak_ref[pi, h].astype(attn.dtype) * inv_keep
             ohs.append(jnp.dot(attn, vh[pi],
                                preferred_element_type=jnp.float32))
         oh = jnp.stack(ohs, axis=0)                 # [P, Tq, dv]
@@ -123,7 +151,10 @@ def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
 
     y = jnp.dot(o.reshape(p * tq, d_v).astype(xq.dtype), fcw_ref[:],
                 preferred_element_type=jnp.float32)
-    y = y.reshape(p, tq, d) + xq.astype(jnp.float32)
+    y = y.reshape(p, tq, d)
+    if ok_ref is not None:
+        y = y * ok_ref[:].astype(y.dtype) * inv_keep
+    y = y + xq.astype(jnp.float32)
     mu = jnp.mean(y, axis=-1, keepdims=True)
     var = jnp.mean((y - mu) ** 2, axis=-1, keepdims=True)
     out = (y - mu) * jax.lax.rsqrt(var + 1e-6) * \
@@ -132,7 +163,8 @@ def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
 
 
 def _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
-                *, n_head, d_k, d_v, dist, pair_tile, interpret):
+                attn_keep=None, out_keep=None, *, n_head, d_k, d_v, dist,
+                keep_prob, pair_tile, interpret):
     p, tq, d = x_q.shape
     tk = x_kv.shape[1]
     pt = min(pair_tile, p)
@@ -152,25 +184,305 @@ def _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
+    in_specs = [
+        pl.BlockSpec((pt, tq, d), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((pt, tk, d), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        full(wq.shape), full(wk.shape), full(wv.shape),
+        full(sk_w.shape), full(sk_b.shape), full(fc_w.shape),
+        full(ln_s.shape), full(ln_b.shape), full(mask.shape),
+    ]
+    operands = [x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask]
+    if attn_keep is not None:
+        in_specs += [
+            pl.BlockSpec((pt, n_head, tq, tk), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pt, tq, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [attn_keep, out_keep]
+
     kern = functools.partial(_kernel, n_head=n_head, d_k=d_k, d_v=d_v,
-                             dist=dist)
+                             dist=dist, keep_prob=keep_prob)
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((pt, tq, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((pt, tk, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            full(wq.shape), full(wk.shape), full(wv.shape),
-            full(sk_w.shape), full(sk_b.shape), full(fc_w.shape),
-            full(ln_s.shape), full(ln_b.shape), full(mask.shape),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((pt, tq, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p, tq, d), x_q.dtype),
         interpret=interpret,
-    )(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask)
+    )(*operands)
+
+
+def _bwd_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
+                fcw_ref, lns_ref, lnb_ref, mask_ref, *rest, n_head, d_k,
+                d_v, keep_prob):
+    """Fused backward: recomputes the forward (flash-style — nothing but the
+    block inputs is saved) and produces every cotangent in one kernel.
+    Weight grads accumulate in VMEM-resident f32 output blocks across the
+    sequential pair-batch grid (init at program_id 0)."""
+    if len(rest) == 13:
+        (ak_ref, ok_ref, g_ref, dxq_ref, dxkv_ref, dwq_ref, dwk_ref,
+         dwv_ref, dskw_ref, dskb_ref, dfcw_ref, dlns_ref, dlnb_ref) = rest
+    else:
+        (g_ref, dxq_ref, dxkv_ref, dwq_ref, dwk_ref, dwv_ref, dskw_ref,
+         dskb_ref, dfcw_ref, dlns_ref, dlnb_ref) = rest
+        ak_ref = ok_ref = None
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (dwq_ref, dwk_ref, dwv_ref, dskw_ref, dskb_ref,
+                    dfcw_ref, dlns_ref, dlnb_ref):
+            ref[:] = jnp.zeros(ref.shape, ref.dtype)
+
+    xq = xq_ref[:]
+    xkv = xkv_ref[:]
+    p, tq, d = xq.shape
+    tk = xkv.shape[1]
+    xq2 = xq.reshape(p * tq, d)
+    xkv2 = xkv.reshape(p * tk, d)
+    mask = mask_ref[:]
+    scale = 1.0 / (d_k ** 0.5)
+    inv_keep = 1.0 / keep_prob
+
+    # ---- forward recompute (identical ordering to _kernel) ----
+    o_heads = []
+    u = jnp.zeros((p, tq, d_v), jnp.float32)
+    for h in range(n_head):
+        qh = jnp.dot(xq2, wq_ref[h], preferred_element_type=jnp.float32)
+        kh = jnp.dot(xkv2, wk_ref[h], preferred_element_type=jnp.float32)
+        vh = jnp.dot(xkv2, wv_ref[h], preferred_element_type=jnp.float32)
+        qh = qh.reshape(p, tq, d_k) * scale
+        kh = kh.reshape(p, tk, d_k)
+        vh = vh.reshape(p, tk, d_v)
+        ohs = []
+        for pi in range(p):
+            attn = jax.lax.dot_general(
+                qh[pi], kh[pi], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            attn = jnp.where(mask, attn, -1e9)
+            attn = jax.nn.softmax(attn, axis=-1)
+            if ak_ref is not None:
+                attn = attn * ak_ref[pi, h].astype(attn.dtype) * inv_keep
+            ohs.append(jnp.dot(attn, vh[pi],
+                               preferred_element_type=jnp.float32))
+        oh = jnp.stack(ohs, axis=0)
+        o_heads.append(oh)
+        u = u + oh
+
+    s = jnp.mean(u, axis=1)                          # [P, dv]
+    gate_logits = []
+    for h in range(n_head):
+        gl = jnp.dot(s, skw_ref[h].astype(jnp.float32),
+                     preferred_element_type=jnp.float32) + \
+            skb_ref[h].astype(jnp.float32)
+        gate_logits.append(gl)
+    gmax = gate_logits[0]
+    for gl in gate_logits[1:]:
+        gmax = jnp.maximum(gmax, gl)
+    exps = [jnp.exp(gl - gmax) for gl in gate_logits]
+    denom = exps[0]
+    for e in exps[1:]:
+        denom = denom + e
+    gammas = [e / denom for e in exps]               # per head [P, dv]
+    o = jnp.zeros((p, tq, d_v), jnp.float32)
+    for h in range(n_head):
+        o = o + o_heads[h] * gammas[h][:, None, :]
+
+    o_cast = o.reshape(p * tq, d_v).astype(xq.dtype)
+    y0 = jnp.dot(o_cast, fcw_ref[:],
+                 preferred_element_type=jnp.float32).reshape(p, tq, d)
+    if ok_ref is not None:
+        okf = ok_ref[:].astype(jnp.float32)
+        yd = y0 * okf * inv_keep
+    else:
+        yd = y0
+    y = yd + xq.astype(jnp.float32)
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean((y - mu) ** 2, axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(var + 1e-6)
+    xhat = (y - mu) * r                              # [P, Tq, D]
+
+    # ---- backward ----
+    g = g_ref[:].astype(jnp.float32)                 # dL/dout
+    dlns_ref[:] = dlns_ref[:] + jnp.sum(g * xhat, axis=(0, 1))
+    dlnb_ref[:] = dlnb_ref[:] + jnp.sum(g, axis=(0, 1))
+    dxhat = g * lns_ref[:].astype(jnp.float32)
+    dy = r * (dxhat - jnp.mean(dxhat, axis=-1, keepdims=True) -
+              xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True))
+
+    dxq_acc = dy                                     # residual branch
+    dy0 = dy * okf * inv_keep if ok_ref is not None else dy
+
+    dy0_flat = dy0.reshape(p * tq, d)
+    dfcw_ref[:] = dfcw_ref[:] + jnp.dot(
+        o_cast.astype(jnp.float32).T, dy0_flat,
+        preferred_element_type=jnp.float32)
+    do = jnp.dot(dy0_flat, fcw_ref[:].astype(jnp.float32).T,
+                 preferred_element_type=jnp.float32).reshape(p, tq, d_v)
+
+    # selective-head gate backward
+    dgammas = [jnp.sum(do * o_heads[h], axis=1) for h in range(n_head)]
+    gdot = gammas[0] * dgammas[0]
+    for h in range(1, n_head):
+        gdot = gdot + gammas[h] * dgammas[h]
+    dgls = [gammas[h] * (dgammas[h] - gdot) for h in range(n_head)]
+    ds_bar = jnp.zeros((p, d_v), jnp.float32)
+    for h in range(n_head):
+        dskw_ref[h] = dskw_ref[h] + jnp.dot(
+            s.T, dgls[h], preferred_element_type=jnp.float32)
+        dskb_ref[h] = dskb_ref[h] + jnp.sum(dgls[h], axis=0)
+        ds_bar = ds_bar + jnp.dot(
+            dgls[h], skw_ref[h].astype(jnp.float32).T,
+            preferred_element_type=jnp.float32)
+    du = ds_bar[:, None, :] / tq                     # mean over Tq
+
+    dxkv_acc = jnp.zeros((p, tk, d), jnp.float32)
+    for h in range(n_head):
+        # recompute per-head activations (second pass)
+        qh = jnp.dot(xq2, wq_ref[h], preferred_element_type=jnp.float32)
+        kh = jnp.dot(xkv2, wk_ref[h], preferred_element_type=jnp.float32)
+        vh = jnp.dot(xkv2, wv_ref[h], preferred_element_type=jnp.float32)
+        qh = qh.reshape(p, tq, d_k) * scale          # scaled q
+        kh = kh.reshape(p, tk, d_k)
+        vh = vh.reshape(p, tk, d_v)
+        doh = do * gammas[h][:, None, :] + du        # [P, Tq, dv]
+        dzs, dks, dvs = [], [], []
+        for pi in range(p):
+            attn = jax.lax.dot_general(
+                qh[pi], kh[pi], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            attn = jnp.where(mask, attn, -1e9)
+            probs = jax.nn.softmax(attn, axis=-1)    # P (pre-dropout)
+            if ak_ref is not None:
+                akf = ak_ref[pi, h].astype(jnp.float32)
+                pd = probs * akf * inv_keep
+            else:
+                pd = probs
+            dpd = jax.lax.dot_general(
+                doh[pi], vh[pi], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [Tq, Tk]
+            dvs.append(jnp.dot(pd.T, doh[pi],
+                               preferred_element_type=jnp.float32))
+            dprobs = dpd * akf * inv_keep if ak_ref is not None else dpd
+            rowdot = jnp.sum(probs * dprobs, axis=-1, keepdims=True)
+            dsattn = probs * (dprobs - rowdot)       # [Tq, Tk]
+            dzs.append(jnp.dot(dsattn, kh[pi],
+                               preferred_element_type=jnp.float32) * scale)
+            dks.append(jax.lax.dot_general(
+                dsattn, qh[pi], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))  # [Tk, dk]
+        dz = jnp.concatenate(dzs, axis=0)            # [P*Tq, dk]
+        dk_all = jnp.concatenate(dks, axis=0)        # [P*Tk, dk]
+        dv_all = jnp.concatenate(dvs, axis=0)        # [P*Tk, dv]
+        dwq_ref[h] = dwq_ref[h] + jnp.dot(
+            xq2.astype(jnp.float32).T, dz,
+            preferred_element_type=jnp.float32)
+        dwk_ref[h] = dwk_ref[h] + jnp.dot(
+            xkv2.astype(jnp.float32).T, dk_all,
+            preferred_element_type=jnp.float32)
+        dwv_ref[h] = dwv_ref[h] + jnp.dot(
+            xkv2.astype(jnp.float32).T, dv_all,
+            preferred_element_type=jnp.float32)
+        dxq_acc = dxq_acc + jnp.dot(
+            dz, wq_ref[h].astype(jnp.float32).T,
+            preferred_element_type=jnp.float32).reshape(p, tq, d)
+        dxkv_acc = dxkv_acc + (
+            jnp.dot(dk_all, wk_ref[h].astype(jnp.float32).T,
+                    preferred_element_type=jnp.float32) +
+            jnp.dot(dv_all, wv_ref[h].astype(jnp.float32).T,
+                    preferred_element_type=jnp.float32)).reshape(p, tk, d)
+
+    dxq_ref[:] = dxq_acc.astype(dxq_ref.dtype)
+    dxkv_ref[:] = dxkv_acc.astype(dxkv_ref.dtype)
+
+
+def _fused_bwd_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
+                    mask, attn_keep, out_keep, g, *, n_head, d_k, d_v,
+                    keep_prob, pair_tile, interpret):
+    """Run the fused backward kernel; returns cotangents for the 10 array
+    inputs in the ORIGINAL (pre-per-head-reshape) weight layouts."""
+    p, tq, d = x_q.shape
+    tk = x_kv.shape[1]
+    # the backward holds ~2.5x the forward's live intermediates (o_heads for
+    # the gate backward + per-head cotangent stacks); half the fwd tile
+    # keeps the kernel inside the 16MB scoped-vmem budget
+    pt = min(max(1, pair_tile // 2), p)
+    if p % pt != 0:
+        pt = 1
+    grid = (p // pt,)
+
+    wqh = wq.reshape(d, n_head, d_k).transpose(1, 0, 2)
+    wkh = wk.reshape(d, n_head, d_k).transpose(1, 0, 2)
+    wvh = wv.reshape(d, n_head, d_v).transpose(1, 0, 2)
+    skwh = sk_w.reshape(d_v, n_head, d_v).transpose(1, 0, 2)
+    skbh = sk_b.reshape(n_head, d_v)
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def per_pair(t, width):
+        return pl.BlockSpec((pt, t, width), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [per_pair(tq, d), per_pair(tk, d),
+                full(wqh.shape), full(wkh.shape), full(wvh.shape),
+                full(skwh.shape), full(skbh.shape), full(fc_w.shape),
+                full(ln_s.shape), full(ln_b.shape), full(mask.shape)]
+    operands = [x_q, x_kv, wqh, wkh, wvh, skwh, skbh, fc_w, ln_s, ln_b,
+                mask]
+    if attn_keep is not None:
+        in_specs += [pl.BlockSpec((pt, n_head, tq, tk),
+                                  lambda i: (i, 0, 0, 0),
+                                  memory_space=pltpu.VMEM),
+                     per_pair(tq, d)]
+        operands += [attn_keep, out_keep]
+    in_specs.append(per_pair(tq, d))                 # upstream cotangent
+    operands.append(g)
+
+    f32 = jnp.float32
+    out_shape = [
+        jax.ShapeDtypeStruct((p, tq, d), x_q.dtype),      # dxq
+        jax.ShapeDtypeStruct((p, tk, d), x_kv.dtype),     # dxkv
+        jax.ShapeDtypeStruct((n_head, d, d_k), f32),      # dwq (per-head)
+        jax.ShapeDtypeStruct((n_head, d, d_k), f32),      # dwk
+        jax.ShapeDtypeStruct((n_head, d, d_v), f32),      # dwv
+        jax.ShapeDtypeStruct((n_head, d_v, d_v), f32),    # dskw
+        jax.ShapeDtypeStruct((n_head, d_v), f32),         # dskb
+        jax.ShapeDtypeStruct((d_v, d), f32),              # dfcw
+        jax.ShapeDtypeStruct((d,), f32),                  # dlns
+        jax.ShapeDtypeStruct((d,), f32),                  # dlnb
+    ]
+    out_specs = [per_pair(tq, d), per_pair(tk, d),
+                 full((n_head, d, d_k)), full((n_head, d, d_k)),
+                 full((n_head, d, d_v)), full((n_head, d_v, d_v)),
+                 full((n_head, d_v)), full((d_v, d)),
+                 full((d,)), full((d,))]
+
+    kern = functools.partial(_bwd_kernel, n_head=n_head, d_k=d_k, d_v=d_v,
+                             keep_prob=keep_prob)
+    (dxq, dxkv, dwq, dwk, dwv, dskw, dskb, dfcw, dlns,
+     dlnb) = pl.pallas_call(
+        kern, grid=grid, in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape, interpret=interpret,
+        # the recompute+grad body keeps ~2x the forward's values live;
+        # the default 16MB scoped-vmem budget is too small (v5e has 128MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024))(*operands)
+
+    # back to the original weight layouts / dtypes
+    dwq = dwq.transpose(1, 0, 2).reshape(d, n_head * d_k).astype(wq.dtype)
+    dwk = dwk.transpose(1, 0, 2).reshape(d, n_head * d_k).astype(wk.dtype)
+    dwv = dwv.transpose(1, 0, 2).reshape(d, n_head * d_v).astype(wv.dtype)
+    dskw = dskw.transpose(1, 0, 2).reshape(d_v, n_head * d_v).astype(
+        sk_w.dtype)
+    dskb = dskb.reshape(n_head * d_v).astype(sk_b.dtype)
+    dfcw = dfcw.astype(fc_w.dtype)
+    return (dxq, dxkv, dwq, dwk, dwv, dskw, dskb, dfcw,
+            dlns.astype(ln_s.dtype), dlnb.astype(ln_b.dtype))
 
 
 @functools.partial(jax.custom_vjp,
@@ -185,26 +497,95 @@ def fused_sh_attention(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
     """
     return _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
                        mask, n_head=n_head, d_k=d_k, d_v=d_v, dist=dist,
-                       pair_tile=pair_tile, interpret=interpret)
+                       keep_prob=1.0, pair_tile=pair_tile,
+                       interpret=interpret)
 
 
 def _fwd(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
          n_head, d_k, d_v, dist, pair_tile, interpret):
     out = _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
                       mask, n_head=n_head, d_k=d_k, d_v=d_v, dist=dist,
-                      pair_tile=pair_tile, interpret=interpret)
+                      keep_prob=1.0, pair_tile=pair_tile,
+                      interpret=interpret)
     return out, (x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask)
 
 
-def _bwd(n_head, d_k, d_v, dist, pair_tile, interpret, res, g):
-    # gradient through the (cheap, memory-light) jnp reference — the kernel
-    # is exact to it, so this is a valid VJP of the fused op
-    def f(*args):
-        return _reference_impl(*args, n_head=n_head, d_k=d_k, d_v=d_v,
-                               dist=dist)
+def _mask_cotangent(mask):
+    import numpy as np
+    return np.zeros(mask.shape, dtype=jax.dtypes.float0)
 
-    _, vjp = jax.vjp(f, *res)
-    return vjp(g)
+
+def _bwd(n_head, d_k, d_v, dist, pair_tile, interpret, res, g):
+    (x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask) = res
+    if dist != "softmax":
+        # fused bwd kernel only implements the softmax dist; fall back to
+        # gradient-of-the-reference (recompute)
+        def f(*args):
+            return _reference_impl(*args, n_head=n_head, d_k=d_k, d_v=d_v,
+                                   dist=dist)
+
+        _, vjp = jax.vjp(f, *res)
+        return vjp(g)
+    grads = _fused_bwd_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s,
+                            ln_b, mask, None, None, g, n_head=n_head,
+                            d_k=d_k, d_v=d_v, keep_prob=1.0,
+                            pair_tile=pair_tile, interpret=interpret)
+    return grads + (_mask_cotangent(mask),)
 
 
 fused_sh_attention.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(13, 14, 15, 16, 17, 18, 19))
+def fused_sh_attention_dropout(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w,
+                               ln_s, ln_b, mask, attn_keep, out_keep,
+                               n_head=8, d_k=64, d_v=64, dist="softmax",
+                               keep_prob=0.9, pair_tile=8, interpret=False):
+    """Training-path variant of fused_sh_attention.
+
+    attn_keep [P,H,Tq,Tk] / out_keep [P,Tq,D] are 0/1 keep-masks (bf16; see
+    _reference_impl) for the attention-probability and output-projection
+    dropouts (SubLayers.py:56, :96); kept values are scaled by 1/keep_prob
+    (inverted dropout, matching flax nn.Dropout).  Masks are ordinary
+    operands so the custom VJP — which recomputes through the jnp reference
+    with the SAME masks — is exact.
+    """
+    return _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
+                       mask, attn_keep, out_keep, n_head=n_head, d_k=d_k,
+                       d_v=d_v, dist=dist, keep_prob=keep_prob,
+                       pair_tile=pair_tile, interpret=interpret)
+
+
+def _fwd_drop(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
+              attn_keep, out_keep, n_head, d_k, d_v, dist, keep_prob,
+              pair_tile, interpret):
+    out = _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
+                      mask, attn_keep, out_keep, n_head=n_head, d_k=d_k,
+                      d_v=d_v, dist=dist, keep_prob=keep_prob,
+                      pair_tile=pair_tile, interpret=interpret)
+    return out, (x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
+                 attn_keep, out_keep)
+
+
+def _bwd_drop(n_head, d_k, d_v, dist, keep_prob, pair_tile, interpret,
+              res, g):
+    (x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask, attn_keep,
+     out_keep) = res
+    if dist != "softmax":
+        def f(*args):
+            return _reference_impl(*args, n_head=n_head, d_k=d_k, d_v=d_v,
+                                   dist=dist, keep_prob=keep_prob)
+
+        _, vjp = jax.vjp(f, *res)
+        return vjp(g)
+    grads = _fused_bwd_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s,
+                            ln_b, mask, attn_keep, out_keep, g,
+                            n_head=n_head, d_k=d_k, d_v=d_v,
+                            keep_prob=keep_prob, pair_tile=pair_tile,
+                            interpret=interpret)
+    return grads + (_mask_cotangent(mask), jnp.zeros_like(attn_keep),
+                    jnp.zeros_like(out_keep))
+
+
+fused_sh_attention_dropout.defvjp(_fwd_drop, _bwd_drop)

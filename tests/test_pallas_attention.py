@@ -5,7 +5,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from ait_tpu.ops.pallas_attention import _reference_impl, fused_sh_attention
+from ait_tpu.ops.pallas_attention import (_reference_impl,
+                                          fused_sh_attention,
+                                          fused_sh_attention_dropout)
 
 
 def make_args(rng, p=8, tq=64, tk=64, d=512, h=8, dk=64):
@@ -42,20 +44,91 @@ def test_kernel_matches_reference(mask_kind, dist):
                                rtol=1e-5)
 
 
-def test_kernel_vjp_matches_reference_grad():
-    rng = np.random.RandomState(1)
+def make_keep_masks(rng, p=8, tq=64, tk=64, d=512, h=8, keep=0.9):
+    return (jnp.asarray(rng.rand(p, h, tq, tk) < keep),
+            jnp.asarray(rng.rand(p, tq, d) < keep))
+
+
+def test_dropout_kernel_matches_reference():
+    rng = np.random.RandomState(2)
+    args = make_args(rng)
+    mask = jnp.broadcast_to((jnp.arange(64) < 49)[None], (64, 64))
+    attn_keep, out_keep = make_keep_masks(rng)
+    ref = _reference_impl(*args, mask, attn_keep, out_keep, n_head=8,
+                          d_k=64, d_v=64, dist="softmax", keep_prob=0.9)
+    got = fused_sh_attention_dropout(*args, mask, attn_keep, out_keep,
+                                     keep_prob=0.9, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
+                               rtol=1e-5)
+
+
+def test_dropout_kernel_vjp_matches_reference_grad():
+    rng = np.random.RandomState(3)
     args = make_args(rng, p=4)
     mask = jnp.tril(jnp.ones((64, 64), bool))
+    attn_keep, out_keep = make_keep_masks(rng, p=4)
 
-    def via_kernel(xq):
-        return fused_sh_attention(xq, *args[1:], mask,
-                                  interpret=True).sum()
+    def via_kernel(xq, w):
+        return fused_sh_attention_dropout(
+            xq, args[1], w, *args[3:], mask, attn_keep, out_keep,
+            keep_prob=0.9, interpret=True).sum()
 
-    def via_ref(xq):
-        return _reference_impl(xq, *args[1:], mask, n_head=8, d_k=64,
-                               d_v=64, dist="softmax").sum()
+    def via_ref(xq, w):
+        return _reference_impl(xq, args[1], w, *args[3:], mask, attn_keep,
+                               out_keep, n_head=8, d_k=64, d_v=64,
+                               dist="softmax", keep_prob=0.9).sum()
 
-    g1 = jax.grad(via_kernel)(args[0])
-    g2 = jax.grad(via_ref)(args[0])
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4,
-                               rtol=1e-4)
+    g1 = jax.grad(via_kernel, argnums=(0, 1))(args[0], args[2])
+    g2 = jax.grad(via_ref, argnums=(0, 1))(args[0], args[2])
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-4)
+
+
+def test_kernel_vjp_matches_reference_grad():
+    """Fused backward kernel vs autodiff-of-reference, every cotangent."""
+    rng = np.random.RandomState(1)
+    args = make_args(rng, p=4)
+    mask = jnp.broadcast_to((jnp.arange(64) < 49)[None], (64, 64))
+
+    def via_kernel(*a):
+        return (fused_sh_attention(*a, mask, interpret=True) ** 2).sum()
+
+    def via_ref(*a):
+        return (_reference_impl(*a, mask, n_head=8, d_k=64, d_v=64,
+                                dist="softmax") ** 2).sum()
+
+    g1 = jax.grad(via_kernel, argnums=tuple(range(10)))(*args)
+    g2 = jax.grad(via_ref, argnums=tuple(range(10)))(*args)
+    names = ["xq", "xkv", "wq", "wk", "wv", "skw", "skb", "fcw", "lns",
+             "lnb"]
+    for n, a, b in zip(names, g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
+                                   rtol=1e-3, err_msg=n)
+
+
+def test_dropout_kernel_vjp_all_cotangents():
+    rng = np.random.RandomState(4)
+    args = make_args(rng, p=4)
+    mask = jnp.broadcast_to((jnp.arange(64) < 49)[None], (64, 64))
+    attn_keep, out_keep = make_keep_masks(rng, p=4)
+    attn_keep = attn_keep.astype(jnp.float32)
+    out_keep = out_keep.astype(jnp.float32)
+
+    def via_kernel(*a):
+        return (fused_sh_attention_dropout(
+            *a, mask, attn_keep, out_keep, keep_prob=0.9,
+            interpret=True) ** 2).sum()
+
+    def via_ref(*a):
+        return (_reference_impl(*a, mask, attn_keep, out_keep, n_head=8,
+                                d_k=64, d_v=64, dist="softmax",
+                                keep_prob=0.9) ** 2).sum()
+
+    g1 = jax.grad(via_kernel, argnums=tuple(range(10)))(*args)
+    g2 = jax.grad(via_ref, argnums=tuple(range(10)))(*args)
+    names = ["xq", "xkv", "wq", "wk", "wv", "skw", "skb", "fcw", "lns",
+             "lnb"]
+    for n, a, b in zip(names, g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
+                                   rtol=1e-3, err_msg=n)

@@ -87,10 +87,16 @@ def main(argv=None):
     p.add_argument("--bs", type=int, default=8)
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--eval_bs", type=int, default=8)
+    p.add_argument("--coatt", default="mha", choices=["mha", "nonlocal"],
+                   help="co-attention flavor (mha=VOC model, "
+                        "nonlocal=COCO model)")
     args = p.parse_args(argv)
 
     root = tempfile.mkdtemp(prefix="shapes_")
+    import dataclasses
     cfg = Config()
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                coattention=args.coatt))
     view = make_dataset(root)
     view_eval = make_dataset(root)  # same images, fresh (unaugmented) view
     view_eval.allowed_classes = view.allowed_classes
