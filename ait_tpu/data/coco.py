@@ -66,9 +66,15 @@ def _image_file_name(im: dict, data_name: str) -> str:
 def load_coco(data_path: str, year: str, image_set: str,
               cache_dir: Optional[str] = None,
               reference_file: Optional[str] = None) -> DatasetView:
-    """data_path/{annotations/instances_<set><year>.json, images/<set><year>/}."""
+    """data_path/{annotations/instances_<set><year>.json, images/<set><year>/}.
+
+    minival2014 / valminusminival2014 are annotation subsets whose images
+    live in val2014 (the reference's _view_map, lib/datasets/coco.py:75-86).
+    """
     name = f"coco_{year}_{image_set}"
-    data_name = image_set + year
+    view_map = {"minival2014": "val2014",
+                "valminusminival2014": "val2014"}
+    data_name = view_map.get(image_set + year, image_set + year)
     ann_file = os.path.join(data_path, "annotations",
                             f"instances_{image_set}{year}.json")
     gt = COCOGt(ann_file)

@@ -18,7 +18,14 @@ trainval_net_voc.py:153-176):
     selection: `random.seed(img_id)`, shuffle, pick `query_position`-th
     (roibatchLoader.py:299-307) — needed for shot-averaged AP parity;
   * a background thread + worker pool replaces the 8 DataLoader worker
-    processes; batches land as ready numpy arrays for one device_put.
+    processes; batches land as ready numpy arrays for one device_put;
+  * when native/libait_native.so is built (make -C native), the per-batch
+    image work — decode, flip, shortest-side scale, canvas placement, query
+    crop — runs in C++ worker threads with no GIL (ail_prep_targets /
+    ail_prep_queries); the rng-bearing sampling stays here, drawn in the
+    same per-item order as the pure-python path so both paths produce
+    bit-identical metadata (pixels may differ by 1 LSB: float bilinear vs
+    cv2's /2048 fixed point).  Unreadable items fall back to imageio.
 """
 
 from __future__ import annotations
@@ -32,9 +39,11 @@ from typing import Dict, Iterator, List, Optional, Tuple
 import imageio.v2 as imageio
 import numpy as np
 
+from ait_tpu import native
 from ait_tpu.config import Config
 from ait_tpu.data.records import DatasetView
-from ait_tpu.data.transforms import (crop_query, normalize, place_on_canvas,
+from ait_tpu.data.transforms import (TORCHVISION_MEAN, crop_query,
+                                     normalize, place_on_canvas,
                                      prep_image, to_rgb3)
 
 
@@ -172,6 +181,114 @@ class OneShotLoader:
             "category": np.int32(cls),
         }
 
+    # ---------------- native (C++) batch path -------------------------
+    def _use_native(self) -> bool:
+        # the native pipeline produces uint8 canvases; float mode (normalize
+        # on host) stays on the python path
+        return self.uint8 and native.available()
+
+    def _scale_for(self, rec) -> float:
+        """The scale _prep_image/ail_prep_targets will compute, derived from
+        the record's stored dims (== decoded dims for well-formed data, the
+        same assumption the reference's prepare_roidb makes)."""
+        target = (self.cfg.TRAIN.SCALES if self.training
+                  else self.cfg.TEST.SCALES)[0]
+        canvas = self._canvas_for(rec)
+        return min(float(target) / min(rec.height, rec.width),
+                   canvas[0] / rec.height, canvas[1] / rec.width)
+
+    def _train_meta(self, index: int):
+        """Sampling for one item — SAME rng draw order as train_item
+        (choice, exemplar, query flip, gt shuffle), so the native and pure
+        python loaders yield bit-identical metadata."""
+        rec = self.view.records[index]
+        aset = set(self.view.allowed_classes)
+        keep = np.array([int(c) in aset for c in rec.gt_classes], bool)
+        boxes = rec.boxes[keep].astype(np.float32)
+        classes = rec.gt_classes[keep]
+        cand = np.unique(classes)
+        if len(cand) == 1:
+            choice = int(cand[0])
+        else:
+            p = np.array([self.freq[int(c)] for c in cand])
+            choice = int(self.rng.choice(cand, 1, p=p / p.sum())[0])
+        labels = (classes == choice).astype(np.float32)
+        exemplar = self.view.cat_data[choice][
+            self.rng.randint(len(self.view.cat_data[choice]))]
+        qflip = bool(self.rng.rand() > 0.5)
+        gt = np.concatenate(
+            [boxes * self._scale_for(rec), labels[:, None]], axis=1)
+        ok = (gt[:, 0] != gt[:, 2]) & (gt[:, 1] != gt[:, 3])
+        gt = gt[ok]
+        self.rng.shuffle(gt)
+        n = min(len(gt), self.max_gt)
+        gt_pad = np.zeros((self.max_gt, 5), np.float32)
+        gt_pad[:n] = gt[:n]
+        return rec, exemplar, qflip, gt_pad, n
+
+    def _native_targets(self, recs, n_threads):
+        canvas = self._canvas_for(recs[0])
+        target = (self.cfg.TRAIN.SCALES if self.training
+                  else self.cfg.TEST.SCALES)[0]
+        fill = np.round(TORCHVISION_MEAN * 255.0).astype(np.uint8)
+        canvases, info, bad = native.prep_targets(
+            [r.image_path for r in recs],
+            np.array([r.flipped for r in recs], np.uint8),
+            target, canvas, fill, n_threads)
+        for j in np.nonzero(bad)[0]:       # imageio fallback per item
+            c, h, w, s = self._prep_image(recs[j])
+            canvases[j] = c
+            info[j] = (h, w, s)
+        return canvases, info
+
+    def _native_queries(self, exemplars, qflips, n_threads):
+        queries, bad = native.prep_queries(
+            [e.image_path for e in exemplars],
+            np.array([e.box for e in exemplars], np.float64),
+            np.array(qflips, np.uint8), self.query_size, n_threads)
+        for j in np.nonzero(bad)[0]:
+            queries[j] = self._prep_query(exemplars[j], flip=qflips[j])
+        return queries
+
+    def _train_batch_native(self, idxs, n_threads):
+        metas = [self._train_meta(i) for i in idxs]
+        recs = [m[0] for m in metas]
+        canvases, info = self._native_targets(recs, n_threads)
+        queries = self._native_queries([m[1] for m in metas],
+                                       [m[2] for m in metas], n_threads)
+        return {
+            "image": canvases,
+            "query": queries,
+            "im_info": info,
+            "gt_boxes": np.stack([m[3] for m in metas]),
+            "num_boxes": np.array([m[4] for m in metas], np.int32),
+        }
+
+    def _test_batch_native(self, idxs, n_threads):
+        pairs = [self.pairs[i] for i in idxs]
+        recs = [self.view.records[ri] for ri, _ in pairs]
+        exemplars = []
+        for (ri, cls) in pairs:
+            rec = self.view.records[ri]
+            pool = self.view.cat_data[cls]
+            pyrandom.seed(rec.img_id)
+            order = list(range(len(pool)))
+            pyrandom.shuffle(order)
+            exemplars.append(pool[order[self.query_position % len(order)]])
+        canvases, info = self._native_targets(recs, n_threads)
+        queries = self._native_queries(exemplars, [False] * len(pairs),
+                                       n_threads)
+        return {
+            "image": canvases,
+            "query": queries,
+            "im_info": info,
+            "gt_boxes": np.zeros((len(pairs), self.max_gt, 5), np.float32),
+            "num_boxes": np.zeros(len(pairs), np.int32),
+            "pair_index": np.array(idxs, np.int32),
+            "record_index": np.array([ri for ri, _ in pairs], np.int32),
+            "category": np.array([c for _, c in pairs], np.int32),
+        }
+
     # ------------------------------------------------------------------
     def _collate(self, items: List[Dict[str, np.ndarray]]):
         return {k: np.stack([it[k] for it in items]) for k in items[0]}
@@ -200,8 +317,10 @@ class OneShotLoader:
             batches.extend(group[i:i + batch_size]
                            for i in range(0, len(group), batch_size))
         self.rng.shuffle(batches)
-        yield from self._pipeline(batches, self.train_item, num_workers,
-                                  prefetch)
+        yield from self._pipeline(
+            batches, self.train_item, num_workers, prefetch,
+            batch_fn=self._train_batch_native if self._use_native()
+            else None)
 
     def test_epoch(self, batch_size: int, *, num_workers: int = 8,
                    prefetch: int = 4) -> Iterator[Dict[str, np.ndarray]]:
@@ -217,16 +336,26 @@ class OneShotLoader:
             group = group + [group[-1]] * pad
             batches.extend(group[i:i + batch_size]
                            for i in range(0, len(group), batch_size))
-        yield from self._pipeline(batches, self.test_item, num_workers,
-                                  prefetch)
+        yield from self._pipeline(
+            batches, self.test_item, num_workers, prefetch,
+            batch_fn=self._test_batch_native if self._use_native()
+            else None)
 
-    def _pipeline(self, batches, item_fn, num_workers, prefetch):
+    def _pipeline(self, batches, item_fn, num_workers, prefetch,
+                  batch_fn=None):
         if not batches:
             return
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         stop = threading.Event()
 
         def producer():
+            if batch_fn is not None:   # native path: C++ threads, no pool
+                for idxs in batches:
+                    if stop.is_set():
+                        break
+                    q.put(batch_fn(idxs, num_workers))
+                q.put(None)
+                return
             with ThreadPoolExecutor(num_workers) as pool:
                 for idxs in batches:
                     if stop.is_set():

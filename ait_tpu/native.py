@@ -22,6 +22,7 @@ _SO_PATH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native", "libait_native.so")
 
 _f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 
@@ -41,6 +42,15 @@ def _load() -> Optional[ctypes.CDLL]:
         _u8p, _u8p, _i64p, _u8p]
     lib.ait_nms_xyxy.argtypes = [
         ctypes.c_int64, _f64p, ctypes.c_double, _u8p]
+    lib.ail_prep_targets.argtypes = [
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_char_p), _u8p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, _u8p, _u8p,
+        _f32p, ctypes.c_int32]
+    lib.ail_prep_targets.restype = ctypes.c_int
+    lib.ail_prep_queries.argtypes = [
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_char_p), _f64p, _u8p,
+        ctypes.c_int32, _u8p, _u8p, ctypes.c_int32]
+    lib.ail_prep_queries.restype = ctypes.c_int
     _LIB = lib
     return _LIB
 
@@ -83,3 +93,45 @@ def nms_xyxy(boxes: np.ndarray, thresh: float) -> np.ndarray:
     if len(boxes):
         lib.ait_nms_xyxy(len(boxes), boxes, float(thresh), keep)
     return keep.astype(bool)
+
+
+def _paths_array(paths):
+    arr = (ctypes.c_char_p * len(paths))()
+    arr[:] = [p.encode() for p in paths]
+    return arr
+
+
+def prep_targets(paths, flips, target_size: int, canvas_hw, fill,
+                 n_threads: int = 8):
+    """Batch decode+flip+scale+canvas (native input pipeline).
+
+    Returns (canvases [N,H,W,3]u8, info [N,3]f32, failed mask) — a failed
+    item (unreadable/unsupported file) has info[:,2]==0; callers redo those
+    through the python path.
+    """
+    lib = _load()
+    n = len(paths)
+    ch, cw = int(canvas_hw[0]), int(canvas_hw[1])
+    canvases = np.empty((n, ch, cw, 3), np.uint8)
+    info = np.empty((n, 3), np.float32)
+    flips = np.ascontiguousarray(flips, np.uint8)
+    fill = np.ascontiguousarray(fill, np.uint8)
+    lib.ail_prep_targets(n, _paths_array(paths), flips, int(target_size),
+                         ch, cw, fill, canvases, info, int(n_threads))
+    return canvases, info, info[:, 2] == 0
+
+
+def prep_queries(paths, boxes, flips, query_size: int, n_threads: int = 8):
+    """Batch query crops: decode + box crop + square pad + resize [+flip].
+
+    Returns (queries [N,qs,qs,3]u8, failed mask).
+    """
+    lib = _load()
+    n = len(paths)
+    out = np.empty((n, query_size, query_size, 3), np.uint8)
+    ok = np.zeros(n, np.uint8)
+    boxes = np.ascontiguousarray(boxes, np.float64)
+    flips = np.ascontiguousarray(flips, np.uint8)
+    lib.ail_prep_queries(n, _paths_array(paths), boxes, flips,
+                         int(query_size), out, ok, int(n_threads))
+    return out, ok == 0

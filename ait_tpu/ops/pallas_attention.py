@@ -213,6 +213,8 @@ def _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p, tq, d), x_q.dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(*operands)
 
 

@@ -53,6 +53,8 @@ def parse_args(argv=None):
                    choices=["res50", "res101", "vgg16"])
     p.add_argument("--save_dir", default="models")
     p.add_argument("--data_dir", default="data")
+    p.add_argument("--coco_set", default="2017_val",
+                   help="coco <year>_<split>, e.g. 2017_train, 2014_minival")
     p.add_argument("--nw", dest="num_workers", type=int, default=8)
     p.add_argument("--g", dest="group", type=int, default=0)
     p.add_argument("--seen", type=int, default=2)
@@ -82,8 +84,9 @@ def parse_args(argv=None):
 def build_view(args, cfg):
     cache = os.path.join(args.data_dir, "cache")
     if args.dataset == "coco":
+        year, split = args.coco_set.split("_", 1)
         view = coco_data.load_coco(os.path.join(args.data_dir, "coco"),
-                                   "2017", "val", cache_dir=None)
+                                   year, split, cache_dir=None)
         return coco_data.filter_seen(view, args.seen,
                                      cfg.test_categories[0])
     devkit = os.path.join(args.data_dir, "VOCdevkit2007")

@@ -55,6 +55,8 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint_interval", type=int, default=10000)
     p.add_argument("--save_dir", default="models")
     p.add_argument("--data_dir", default="data")
+    p.add_argument("--coco_set", default="2017_train",
+                   help="coco <year>_<split>, e.g. 2017_train, 2014_minival")
     p.add_argument("--nw", dest="num_workers", type=int, default=8)
     p.add_argument("--g", dest="group", type=int, default=0)
     p.add_argument("--seen", type=int, default=1)
@@ -114,8 +116,9 @@ def build_config(args) -> Config:
 def build_view(args, cfg):
     cache = os.path.join(args.data_dir, "cache")
     if args.dataset == "coco":
+        year, split = args.coco_set.split("_", 1)
         view = coco_data.load_coco(os.path.join(args.data_dir, "coco"),
-                                   "2017", "train", cache_dir=None)
+                                   year, split, cache_dir=None)
         return coco_data.filter_seen(view, args.seen,
                                      cfg.train_categories[0])
     sets = ([("2007", "trainval")] if args.dataset == "pascal_voc"
