@@ -124,6 +124,14 @@ class ModelConfig:
     sk_gate: str = "faithful"
     class_agnostic: bool = True
     num_K: int = 3  # unused by the live path; kept for ctor parity
+    # optional "contextual relation" recurrent-excitation branch
+    # (resnet_sys_transformer_sk_dilat.py:234-241,277-354; off by default
+    # there too).  rnn_method: 'GRU' | 'LSTM'.
+    with_contextual_relation: bool = False
+    rnn_method: str = "GRU"
+    rnn_layers: int = 1
+    rnn_reduction: int = 16
+    rnn_bidirectional: bool = True
 
 
 @dataclass(frozen=True)

@@ -133,6 +133,27 @@ def convert_detector(state_dict: Dict[str, "object"]) -> dict:
         if parts[0] == "RCNN_base":
             if parts[1] == "backbone":
                 continue  # aliases of stem./layerN. tensors
+            # optional contextual-relation branch (resnet_sys…:277-317)
+            m = re.fullmatch(r"trans([123])", parts[1])
+            if m:
+                leaf = "kernel" if parts[3] == "weight" else "bias"
+                _set(out, ("contextual", f"trans{m.group(1)}", leaf),
+                     _conv(val) if leaf == "kernel" else val)
+                continue
+            if parts[1] == "rnn":
+                m = re.fullmatch(r"(weight|bias)_(ih|hh)_l(\d+)(_reverse)?",
+                                 parts[2])
+                kind, gate, layer, rev = m.groups()
+                d = f"l{layer}_bw" if rev else f"l{layer}_fw"
+                leaf = ("w_" if kind == "weight" else "b_") + gate
+                _set(out, ("contextual", d, leaf),
+                     _linear(val) if kind == "weight" else np.asarray(val))
+                continue
+            if parts[1] == "fc":
+                leaf = "kernel" if parts[3] == "weight" else "bias"
+                _set(out, ("contextual", "fc", leaf),
+                     _linear(val) if leaf == "kernel" else val)
+                continue
             if parts[1] == "stem":
                 if parts[2] == "0":
                     _set(out, ("backbone", "conv1", "kernel"), _conv(val))

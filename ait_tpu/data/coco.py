@@ -58,7 +58,8 @@ class COCOGt:
 def _image_file_name(im: dict, data_name: str) -> str:
     if "file_name" in im:
         return im["file_name"]
-    if data_name == "train2014":
+    # 2014/2015-era layouts prefix the set name; 2017 is the bare id
+    if "2014" in data_name or "2015" in data_name:
         return f"COCO_{data_name}_{im['id']:012d}.jpg"
     return f"{im['id']:012d}.jpg"
 

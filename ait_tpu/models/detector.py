@@ -32,7 +32,8 @@ from ait_tpu.config import Config
 from ait_tpu.models import losses as L
 from ait_tpu.models.ait_transformer import AITTransformer
 from ait_tpu.models.coattention import MHACoAttention, NonLocalCoAttention
-from ait_tpu.models.resnet import ResNetBackbone, ResNetTop
+from ait_tpu.models.resnet import (ContextualRelation, ResNetBackbone,
+                                   ResNetTop)
 from ait_tpu.models.rpn import RPNHead, proposal_layer
 from ait_tpu.models.sknet import SKNet
 from ait_tpu.models.targets import anchor_targets, proposal_targets
@@ -112,6 +113,16 @@ class AITDetector(nn.Module):
             use_pallas=c.tpu.use_pallas_attention)
         self.sk = SKNet(ch, gate=mc.sk_gate, dtype=self.dtype)
 
+        if mc.with_contextual_relation:
+            if not mc.backbone.startswith("resnet"):
+                raise ValueError("contextual relation needs stage taps — "
+                                 "resnet backbones only (as the reference)")
+            self.contextual = ContextualRelation(
+                channels=2048, reduction=mc.rnn_reduction,
+                rnn_layers=mc.rnn_layers,
+                bidirectional=mc.rnn_bidirectional,
+                method=mc.rnn_method, dtype=self.dtype)
+
         # heads (resnet_sys_transformer_sk_dilat.py:425-433; init
         # faster_rcnn_sys:342-347)
         self.cls_score_0 = nn.Dense(
@@ -130,7 +141,13 @@ class AITDetector(nn.Module):
         b = image.shape[0]
 
         image_feat = self.backbone(_to_model_input(image, self.dtype))
-        query_feat = self.backbone(_to_model_input(query, self.dtype))
+        query_scale = None
+        if c.model.with_contextual_relation:
+            query_feat, q_stages = self.backbone(
+                _to_model_input(query, self.dtype), return_stages=True)
+            query_scale = self.contextual(q_stages)       # [B, 2048] f32
+        else:
+            query_feat = self.backbone(_to_model_input(query, self.dtype))
         non_img, non_qry = self.coattention(image_feat, query_feat,
                                             deterministic=det)
 
@@ -206,6 +223,14 @@ class AITDetector(nn.Module):
 
         props_vec = self.top(props)                        # [B*R, D]
         query_vec = self.top(qfeat)                        # [B, D]
+
+        if query_scale is not None:
+            # "Recurrent Excitation": both streams scaled by the QUERY's
+            # contextual gate (faster_rcnn_sys…:256-265), before bbox_pred
+            s = query_scale.astype(props_vec.dtype)
+            props_vec = (props_vec.reshape(b, num_props, -1)
+                         * s[:, None, :]).reshape(props_vec.shape)
+            query_vec = query_vec * s
 
         bbox_pred = self.bbox_pred_head(props_vec).astype(jnp.float32)
 

@@ -12,8 +12,9 @@ Semantics pinned to the reference definition
   * stem conv/bn are excluded from the optimizer (`:260-261`), handled by the
     param mask in train/optim.py.
 
-The optional GRU/LSTM "contextual relation" branch (`:277-354`) is off in every
-shipped config (`with_contextual_relation=False`, `:234`) and is not rebuilt.
+The optional GRU/LSTM "contextual relation" branch (`:277-354`) is rebuilt as
+`ContextualRelation` (off in every shipped config, `:234`; enable with
+cfg.model.with_contextual_relation).
 """
 
 from __future__ import annotations
@@ -22,6 +23,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 
 from ait_tpu.models.layers import FrozenBatchNorm, max_pool_ceil
@@ -99,7 +101,7 @@ class ResNetBackbone(nn.Module):
     s2d_stem: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_stages: bool = False):
         n1, n2, n3, _ = STAGES[self.variant]
         w = _Conv1Kernel(name="conv1")()          # [7, 7, 3, 64]
         x = x.astype(self.dtype)
@@ -125,10 +127,104 @@ class ResNetBackbone(nn.Module):
         x = FrozenBatchNorm(64, name="bn1")(x)
         x = nn.relu(x)
         x = max_pool_ceil(x, 3, 2)
-        x = ResNetStage(64, n1, 1, self.dtype, name="layer1")(x)
-        x = ResNetStage(128, n2, 2, self.dtype, name="layer2")(x)
-        x = ResNetStage(256, n3, 2, self.dtype, name="layer3")(x)
-        return x
+        x1 = ResNetStage(64, n1, 1, self.dtype, name="layer1")(x)
+        x2 = ResNetStage(128, n2, 2, self.dtype, name="layer2")(x1)
+        x3 = ResNetStage(256, n3, 2, self.dtype, name="layer3")(x2)
+        if return_stages:
+            return x3, (x1, x2, x3)
+        return x3
+
+
+class _RNNDirection(nn.Module):
+    """One direction of a torch-layout GRU/LSTM over a short static sequence.
+
+    Gate packing follows torch (GRU: r,z,n; LSTM: i,f,g,o) so released
+    checkpoints convert as plain transposes.  The sequence is length 3 and
+    static, so the time loop unrolls — no lax.scan needed.
+    """
+
+    hidden: int
+    method: str = "GRU"     # GRU | LSTM
+    reverse: bool = False
+
+    @nn.compact
+    def __call__(self, xs):                       # [B, S, D] float32
+        d = xs.shape[-1]
+        g = 3 if self.method == "GRU" else 4
+        k = 1.0 / np.sqrt(self.hidden)
+
+        def unif(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -k, k)
+
+        w_ih = self.param("w_ih", unif, (d, g * self.hidden))
+        w_hh = self.param("w_hh", unif, (self.hidden, g * self.hidden))
+        b_ih = self.param("b_ih", unif, (g * self.hidden,))
+        b_hh = self.param("b_hh", unif, (g * self.hidden,))
+
+        b = xs.shape[0]
+        h = jnp.zeros((b, self.hidden), xs.dtype)
+        c = jnp.zeros((b, self.hidden), xs.dtype)
+        steps = range(xs.shape[1])
+        outs = [None] * xs.shape[1]
+        for t in (reversed(steps) if self.reverse else steps):
+            gi = xs[:, t, :] @ w_ih + b_ih
+            gh = h @ w_hh + b_hh
+            if self.method == "GRU":
+                ir, iz, in_ = jnp.split(gi, 3, axis=-1)
+                hr, hz, hn = jnp.split(gh, 3, axis=-1)
+                r = jax.nn.sigmoid(ir + hr)
+                z = jax.nn.sigmoid(iz + hz)
+                n = jnp.tanh(in_ + r * hn)
+                h = (1.0 - z) * n + z * h
+            else:
+                i, f, g_, o = jnp.split(gi + gh, 4, axis=-1)
+                c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g_)
+                h = jax.nn.sigmoid(o) * jnp.tanh(c)
+            outs[t] = h
+        return jnp.stack(outs, axis=1)            # [B, S, H]
+
+
+class ContextualRelation(nn.Module):
+    """Recurrent-excitation branch: stage GAPs -> (bi)RNN -> sigmoid scale.
+
+    Rebuild of the reference's optional low->high "contextual relation"
+    (resnet_sys_transformer_sk_dilat.py:277-354): layer1/2/3 features are
+    1x1-conv embedded to `channels`, globally average-pooled, stacked as a
+    length-3 sequence, run through a (bidirectional) GRU or LSTM with hidden
+    size channels//reduction; the LAST timestep's output maps through
+    fc+sigmoid to a per-channel scale.  The detector multiplies both head
+    vectors by the QUERY's scale (faster_rcnn_sys…:256-265; the image's
+    scale is computed but unused there — not computed here).
+    """
+
+    channels: int = 2048
+    reduction: int = 16
+    rnn_layers: int = 1
+    bidirectional: bool = True
+    method: str = "GRU"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, stages):
+        seq = []
+        for i, x in enumerate(stages):
+            x = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                        name=f"trans{i + 1}")(x)
+            seq.append(jnp.mean(x, axis=(1, 2)))
+        xs = jnp.stack(seq, axis=1).astype(jnp.float32)   # [B, 3, C]
+        hidden = self.channels // self.reduction
+        out = xs
+        for layer in range(self.rnn_layers):
+            fw = _RNNDirection(hidden, self.method,
+                               name=f"l{layer}_fw")(out)
+            if self.bidirectional:
+                bw = _RNNDirection(hidden, self.method, reverse=True,
+                                   name=f"l{layer}_bw")(out)
+                out = jnp.concatenate([fw, bw], axis=-1)
+            else:
+                out = fw
+        scale = nn.Dense(self.channels, name="fc")(out[:, -1, :])
+        return jax.nn.sigmoid(scale)               # [B, channels] float32
 
 
 class ResNetTop(nn.Module):

@@ -86,3 +86,12 @@ def test_eval_forward(batch):
     assert np.all(np.asarray(out.cls_prob) >= 0)
     assert np.all(np.asarray(out.cls_prob) <= 1)
     assert float(out.total_loss) == 0.0
+
+
+def test_train_forward_contextual_relation(batch):
+    """with_contextual_relation=True threads a query-derived channel scale
+    through both head streams (faster_rcnn_sys…:256-265)."""
+    cfg = tiny_cfg(with_contextual_relation=True, rnn_method="LSTM")
+    out = init_and_run(cfg, batch, train=True)
+    assert np.isfinite(float(out.total_loss))
+    assert float(out.total_loss) > 0

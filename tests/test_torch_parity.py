@@ -177,3 +177,38 @@ def test_resnet_backbone_parity():
     got4 = top.apply({"params": params["top"]}, got)
     np.testing.assert_allclose(np.asarray(got4), want4.numpy(), atol=5e-4,
                                rtol=1e-4)
+
+
+@pytest.mark.parametrize("method", ["GRU", "LSTM"])
+def test_contextual_relation_parity(method):
+    """The optional recurrent-excitation branch vs the reference
+    (resnet_sys_transformer_sk_dilat.py:277-354), GRU and LSTM flavors."""
+    from model.faster_rcnn.resnet_sys_transformer_sk_dilat import (
+        RCNNBackbone, resnet50)
+
+    from ait_tpu.models.resnet import ContextualRelation
+
+    torch.manual_seed(7)
+    net = resnet50()
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+    ref = RCNNBackbone(cfg=None, backbone=net,
+                       with_contextual_relation=True, rnn_method=method)
+    ref.eval()
+    x = torch.randn(2, 3, 128, 128)
+    with torch.no_grad():
+        _, want_scale = ref(x)
+
+    sd = {"RCNN_base." + k: v for k, v in ref.state_dict().items()}
+    params = convert_detector(sd)
+
+    backbone = ResNetBackbone("resnet50")
+    _, stages = backbone.apply({"params": params["backbone"]}, to_nhwc(x),
+                               return_stages=True)
+    ctx = ContextualRelation(method=method)
+    got = ctx.apply({"params": params["contextual"]}, stages)
+    np.testing.assert_allclose(np.asarray(got), want_scale.numpy(),
+                               atol=2e-4, rtol=1e-4)
