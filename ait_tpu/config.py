@@ -143,6 +143,7 @@ class TpuConfig:
     roi_sampling_ratio: int = 2                # static grid (ref uses adaptive ratio=0)
     nms_tile: int = 256                        # blocked-NMS tile size
     use_pallas_attention: bool = True          # fused attention kernel (eval)
+    use_pallas_nms: bool = True                # Mosaic greedy-NMS sweep kernel
     input_uint8: bool = True                   # ship uint8, normalize on device
     portrait_bucket: bool = True               # transposed canvas for tall images
     compute_dtype: str = "bfloat16"            # conv/matmul dtype; params stay f32

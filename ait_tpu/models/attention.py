@@ -144,13 +144,15 @@ class MultiHeadAttention(nn.Module):
 
             if not deterministic and self.dropout > 0.0:
                 # dropout keep-masks generated outside, applied in-kernel
-                # (the custom VJP replays the same masks — exact gradient)
+                # (the custom VJP replays the same masks — exact gradient).
+                # Head-major FLAT layouts ([H, P*Tq, Tk] / [P*Tq, D]) so the
+                # kernel's pair packing is a row slice, never a concat.
                 keep = 1.0 - self.dropout
                 r1, r2 = jax.random.split(self.make_rng("dropout"))
                 attn_keep = jax.random.bernoulli(
-                    r1, keep, (b, self.n_head, lq, lk)).astype(dt)
+                    r1, keep, (self.n_head, b * lq, lk)).astype(dt)
                 out_keep = jax.random.bernoulli(
-                    r2, keep, (b, lq, self.d_model)).astype(dt)
+                    r2, keep, (b * lq, self.d_model)).astype(dt)
                 args = args + (attn_keep, out_keep)
 
                 def kernel_branch(*a):

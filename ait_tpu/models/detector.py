@@ -161,11 +161,10 @@ class AITDetector(nn.Module):
             rpn_out, anchors, im_info,
             pre_nms_topk=tc.RPN_PRE_NMS_TOP_N,
             post_nms_topk=tc.RPN_POST_NMS_TOP_N,
-            nms_thresh=tc.RPN_NMS_THRESH)
-        # proposals are data, not a differentiable path — the reference's
-        # proposal layer has a no-op backward (proposal_layer.py:168-170);
-        # this also keeps the NMS/top-k machinery out of the backward pass
-        rois = jax.lax.stop_gradient(rois)
+            nms_thresh=tc.RPN_NMS_THRESH,
+            use_pallas_nms=c.tpu.use_pallas_nms)
+        # (gradients already stopped at the proposal layer's inputs — see
+        # rpn.proposal_layer)
 
         zero = jnp.zeros((), jnp.float32)
         rpn_loss_cls = rpn_loss_box = zero

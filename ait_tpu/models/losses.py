@@ -10,6 +10,7 @@ Pinned to the reference implementations:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -29,9 +30,15 @@ def smooth_l1_loss(pred, target, inside_weights, outside_weights,
 
 
 def masked_cross_entropy(logits, labels, valid):
-    """Mean CE over `valid` entries (RPN cls loss, rpn.py:105-114)."""
-    ce = optax.softmax_cross_entropy_with_integer_labels(
-        logits.astype(jnp.float32), jnp.maximum(labels, 0))
+    """Mean CE over `valid` entries (RPN cls loss, rpn.py:105-114).
+
+    One-hot formulation: the integer-label CE lowers to a take_along_axis
+    gather, which profiles at >1 ms/step on TPU for the anchor set; with 2
+    classes the one-hot multiply-sum is a trivial vector op instead.
+    """
+    onehot = jax.nn.one_hot(jnp.maximum(labels, 0), logits.shape[-1],
+                            dtype=jnp.float32)
+    ce = optax.softmax_cross_entropy(logits.astype(jnp.float32), onehot)
     valid = valid.astype(jnp.float32)
     return jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Any, NamedTuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -57,13 +58,20 @@ class RPNHead(nn.Module):
 
 def proposal_layer(rpn_out: RPNOut, anchors: jnp.ndarray, im_info: jnp.ndarray,
                    *, pre_nms_topk: int, post_nms_topk: int,
-                   nms_thresh: float) -> jnp.ndarray:
+                   nms_thresh: float, use_pallas_nms: bool = True
+                   ) -> jnp.ndarray:
     """Anchors + deltas -> [B, post_nms_topk, 5] rois (batch idx in col 0).
 
     anchors: [H*W*A, 4] from ops.anchors.shifted_anchors (same (y, x, a)
     order as the NHWC head outputs).  im_info: [B, 3] (h, w, scale).
     """
     b, h, w, _, a = rpn_out.cls_logits.shape
+    # proposals are data, not a differentiable path (the reference's
+    # proposal layer has a no-op backward, proposal_layer.py:168-170);
+    # stopping gradients HERE keeps the whole decode/top-k/NMS machinery —
+    # including the pallas sweep, which has no JVP rule — out of autodiff
+    rpn_out = RPNOut(jax.lax.stop_gradient(rpn_out.cls_logits),
+                     jax.lax.stop_gradient(rpn_out.bbox_deltas))
     logits = rpn_out.cls_logits.astype(jnp.float32)
     fg_prob = nn.softmax(logits, axis=3)[..., 1, :]      # [B, H, W, A]
     scores = fg_prob.reshape(b, h * w * a)
@@ -79,7 +87,7 @@ def proposal_layer(rpn_out: RPNOut, anchors: jnp.ndarray, im_info: jnp.ndarray,
 
     boxes, _, _ = batched_nms_topk(
         proposals, scores, nms_thresh, pre_nms_topk, post_nms_topk,
-        valid=inside)
+        valid=inside, use_pallas=use_pallas_nms)
     batch_idx = jnp.broadcast_to(
         jnp.arange(b, dtype=boxes.dtype)[:, None, None],
         (b, post_nms_topk, 1))

@@ -107,7 +107,10 @@ def anchor_targets(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
         keep_bg = _keep_k_random(labels == 0, num_bg, k2, batch_size)
         labels = jnp.where((labels == 0) & ~keep_bg, -1, labels)
 
-        targets = bbox_transform(anchors, gt[argmax_gt, :4])
+        # one-hot contraction instead of a row gather (gathers profile at
+        # ~1 ms/step on TPU for the anchor set; G is tiny)
+        onehot = jax.nn.one_hot(argmax_gt, gt.shape[0], dtype=jnp.float32)
+        targets = bbox_transform(anchors, onehot @ gt[:, :4])
         inside_w = jnp.where(labels == 1, 1.0, 0.0)[:, None] * jnp.ones(4)
         num_examples = jnp.maximum(jnp.sum(labels >= 0), 1)
         outside_w = jnp.where(labels >= 0, 1.0 / num_examples,

@@ -27,9 +27,24 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ait_tpu.ops.boxes import bbox_overlaps
+from ait_tpu.ops.boxes import bbox_overlaps  # noqa: F401 (re-export)
 
 NEG_INF = jnp.float32(-1e30)
+
+
+def _iou_exceeds(a, b, thresh):
+    """(IoU > thresh) via inter > thresh*union — division-free so the XLA
+    and Mosaic (ops.nms_pallas) paths agree bitwise; +1 area convention
+    (nms.cu:16-19).  a: [N, 4], b: [M, 4] -> [N, M] bool."""
+    iw = (jnp.minimum(a[:, None, 2], b[None, :, 2]) -
+          jnp.maximum(a[:, None, 0], b[None, :, 0]) + 1.0)
+    ih = (jnp.minimum(a[:, None, 3], b[None, :, 3]) -
+          jnp.maximum(a[:, None, 1], b[None, :, 1]) + 1.0)
+    inter = jnp.maximum(iw, 0.0) * jnp.maximum(ih, 0.0)
+    area_a = (a[:, 2] - a[:, 0] + 1.0) * (a[:, 3] - a[:, 1] + 1.0)
+    area_b = (b[:, 2] - b[:, 0] + 1.0) * (b[:, 3] - b[:, 1] + 1.0)
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter > thresh * union
 
 
 def _pad_to(x, n, axis, value):
@@ -99,12 +114,12 @@ def nms_keep_mask(boxes: jnp.ndarray, valid: jnp.ndarray, iou_threshold,
         tb = lax.dynamic_slice(boxes_p, (start, 0), (tile, 4))
         tk = lax.dynamic_slice(keep, (start,), (tile,))
         # suppression by survivors from earlier tiles (compacted buffer)
-        iou_prev = bbox_overlaps(tb, surv)                  # [T, cap_pad]
-        prev = (iou_prev > iou_threshold) & (col < scount)[None, :]
+        prev = _iou_exceeds(tb, surv, iou_threshold) & \
+            (col < scount)[None, :]
         tk = tk & ~jnp.any(prev, axis=1)
         # within-tile resolution
-        iou_tt = bbox_overlaps(tb, tb)
-        adj = (iou_tt > iou_threshold) & (r[:, None] < r[None, :])
+        adj = _iou_exceeds(tb, tb, iou_threshold) & \
+            (r[:, None] < r[None, :])
         tk = _tile_self_suppress(adj, tk)
         # append this tile's survivors to the buffer (score order)
         pos = scount + jnp.cumsum(tk) - tk
@@ -152,7 +167,7 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold,
 
 def batched_nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray,
                      iou_threshold, pre_topk: int, post_topk: int,
-                     tile: int = 256, valid=None):
+                     tile: int = 256, valid=None, use_pallas: bool = True):
     """The proposal-layer NMS: per-image top-k -> greedy NMS -> top-k of kept.
 
     boxes: [B, N, 4], scores: [B, N]; valid: optional [B, N] bool marking real
@@ -161,6 +176,10 @@ def batched_nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray,
     Returns (boxes [B, post, 4], scores [B, post], valid [B, post]); padded
     rows are zero boxes with zero score — exactly the reference's zero-padded
     output convention (proposal_layer.py:131,161-164).
+
+    On TPU the greedy sweep runs as one Mosaic kernel
+    (ops/nms_pallas.nms_keep_mask_batched — same fixpoint, survivor buffer
+    in VMEM, no per-tile dispatch); elsewhere the XLA while-loop version.
     """
     n = boxes.shape[1]
     k = min(pre_topk, n)
@@ -168,11 +187,28 @@ def batched_nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray,
         valid = jnp.ones(scores.shape, bool)
     scores = jnp.where(valid, scores, NEG_INF)
 
-    def one(bx, sc, va):
-        top_sc, order = lax.top_k(sc, k)
-        sb = bx[order]
-        keep = nms_keep_mask(sb, va[order], iou_threshold, tile,
-                             max_out=post_topk)
+    top_sc, order = lax.top_k(scores, k)                 # [B, k]
+    sb = jnp.take_along_axis(boxes, order[..., None], axis=1)
+    # validity rides the score (invalid rows were set to NEG_INF above):
+    # saves a [B, N] bool gather, ~1 ms/step at train shapes
+    sva = top_sc > NEG_INF / 2
+
+    def keep_xla(sb, sva):
+        return jax.vmap(lambda b_, v_: nms_keep_mask(
+            b_, v_, iou_threshold, tile, max_out=post_topk))(sb, sva)
+
+    if use_pallas:
+        from ait_tpu.ops.nms_pallas import nms_keep_mask_batched
+
+        keep = jax.lax.platform_dependent(
+            sb, sva,
+            tpu=lambda b_, v_: nms_keep_mask_batched(
+                b_, v_, iou_threshold, tile=tile, max_out=post_topk),
+            default=keep_xla)
+    else:
+        keep = keep_xla(sb, sva)
+
+    def one(sb, top_sc, keep):
         sel, count = _select_top(keep, post_topk)
         p = sel.shape[0]
         out_valid = jnp.arange(post_topk) < count
@@ -182,4 +218,4 @@ def batched_nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray,
         out_s = jnp.where(out_valid, out_s, 0.0)
         return out_b, out_s, out_valid
 
-    return jax.vmap(one)(boxes, scores, valid)
+    return jax.vmap(one)(sb, top_sc, keep)

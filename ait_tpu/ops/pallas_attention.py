@@ -34,10 +34,12 @@ def _reference_impl(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
                     d_v, dist, keep_prob=1.0):
     """jnp math identical to attention.MultiHeadAttention.
 
-    attn_keep [P,H,Tq,Tk] / out_keep [P,Tq,D] are 0/1 dropout keep-masks
+    attn_keep [H, P*Tq, Tk] / out_keep [P*Tq, D] are 0/1 dropout keep-masks
     (1 = keep, value scaled by 1/keep_prob) matching flax nn.Dropout applied
-    to the attention probabilities and the output projection.  Pass them in
-    a narrow float dtype (bf16): bool crosses the pallas ABI as s32.
+    to the attention probabilities and the output projection.  Head-major
+    FLAT layout: the kernel packs pairs by slicing rows (Mosaic concats are
+    ~100x); pass them in a narrow float dtype (bf16) — bool crosses the
+    pallas ABI as s32.
     """
     p, tq, d = x_q.shape
     tk = x_kv.shape[1]
@@ -56,9 +58,8 @@ def _reference_impl(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
     else:
         attn = attn / attn.shape[-1]
     if attn_keep is not None:
-        # keep-masks arrive as 0/1 in a narrow float dtype (bool operands
-        # cross the pallas ABI as s32 — 4x the HBM traffic)
-        attn = attn * attn_keep.astype(attn.dtype) * (1.0 / keep_prob)
+        ak = attn_keep.reshape(n_head, p, tq, tk).transpose(1, 0, 2, 3)
+        attn = attn * ak.astype(attn.dtype) * (1.0 / keep_prob)
     o = jnp.einsum("phts,phsd->phtd", attn.astype(v.dtype), v,
                    preferred_element_type=jnp.float32).astype(v.dtype)
     u = jnp.sum(o, axis=1)
@@ -68,7 +69,7 @@ def _reference_impl(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
     o = jnp.sum(o * gate[:, :, None, :], axis=1)
     y = (o.reshape(p * tq, d_v) @ fc_w).reshape(p, tq, d)
     if out_keep is not None:
-        y = y * out_keep.astype(y.dtype) * \
+        y = y * out_keep.reshape(p, tq, d).astype(y.dtype) * \
             jnp.asarray(1.0 / keep_prob, y.dtype)
     y = y + x_q
     yf = y.astype(jnp.float32)
@@ -78,12 +79,44 @@ def _reference_impl(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
     return out.astype(x_q.dtype)
 
 
+def _pack_mask(mask, g, tq, tk):
+    """Block-diagonal pack of g pairs into one [g*Tq, g*Tk] attention mask.
+
+    The attention core's per-pair [64, 64] matmuls run the 128x128 MXU at
+    25% utilization; packing g=2 pairs block-diagonally doubles effective
+    throughput.  Bitwise exact for softmax: off-block logits are -1e9, the
+    row max is unchanged (each row keeps its real block), exp underflows to
+    exactly 0.0 in f32, so both the softmax and every downstream matmul see
+    zeros off-block.  (iota, not a numpy constant: pallas kernels cannot
+    capture array constants.)"""
+    ri = jax.lax.broadcasted_iota(jnp.int32, (g * tq, g * tk), 0) // tq
+    ci = jax.lax.broadcasted_iota(jnp.int32, (g * tq, g * tk), 1) // tk
+    # tile in f32: Mosaic cannot relayout/bitcast i1 vectors for concat
+    tiled = jnp.tile(mask.astype(jnp.float32), (g, g)) > 0.5
+    return (ri == ci) & tiled
+
+
+def _flat_slice(m, base, g, t):
+    """Rows of g consecutive pairs in a pair-major flat [p*T, d] matrix.
+
+    Pairs are contiguous there, so 'packing' is a static, tile-aligned row
+    slice — Mosaic lowers per-pair 3-D slicing + concat catastrophically
+    (measured ~100x), this is free."""
+    return m[base * t:(base + g) * t]
+
+
+def _pair_group(p):
+    return 2 if p % 2 == 0 else 1
+
+
 def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
             fcw_ref, lns_ref, lnb_ref, mask_ref, *rest, n_head, d_k,
             d_v, dist, keep_prob):
     """Mosaic constraints shape this kernel: the lane (minor) dimension can
     never be split by a reshape, so weights arrive per-head ([H, D, d]) and
-    heads/pairs are static python loops over 2-D MXU matmuls.
+    heads/pairs are static python loops over 2-D MXU matmuls; pairs are
+    packed block-diagonally in groups of 2 to fill the 128-wide MXU
+    (see _pack_mask).
 
     With dropout, `rest` is (attn_keep_ref, out_keep_ref, out_ref); the
     keep-masks ride the same pair-batch grid as the activations."""
@@ -99,48 +132,56 @@ def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
     xq2 = xq.reshape(p * tq, d)
     xkv2 = xkv.reshape(p * tk, d)
 
-    mask = mask_ref[:]
+    g = _pair_group(p)
+    maskg = _pack_mask(mask_ref[:], g, tq, tk)
     scale = 1.0 / (d_k ** 0.5)
     inv_keep = 1.0 / keep_prob
 
     o_heads = []                                    # per head: [P, Tq, dv]
     u = jnp.zeros((p, tq, d_v), jnp.float32)
     for h in range(n_head):
-        qh = jnp.dot(xq2, wq_ref[h], preferred_element_type=jnp.float32)
+        # flat pair-major activations: packing g pairs = a static row slice
+        qh = jnp.dot(xq2, wq_ref[h],
+                     preferred_element_type=jnp.float32) * scale
         kh = jnp.dot(xkv2, wk_ref[h], preferred_element_type=jnp.float32)
         vh = jnp.dot(xkv2, wv_ref[h], preferred_element_type=jnp.float32)
-        qh = qh.reshape(p, tq, d_k) * scale
-        kh = kh.reshape(p, tk, d_k)
-        vh = vh.reshape(p, tk, d_v)
         ohs = []
-        for pi in range(p):
+        for base in range(0, p, g):
+            qg = _flat_slice(qh, base, g, tq)       # [g*Tq, dk]
+            kg = _flat_slice(kh, base, g, tk)
+            vg = _flat_slice(vh, base, g, tk)
             attn = jax.lax.dot_general(
-                qh[pi], kh[pi], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)     # [Tq, Tk]
-            attn = jnp.where(mask, attn, -1e9)
+                qg, kg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)     # [g*Tq, g*Tk]
+            attn = jnp.where(maskg, attn, -1e9)
             if dist == "softmax":
                 attn = jax.nn.softmax(attn, axis=-1)
             else:
-                attn = attn / tk
+                attn = jnp.where(maskg, attn / tk, 0.0)
             if ak_ref is not None:
-                attn = attn * ak_ref[pi, h].astype(attn.dtype) * inv_keep
-            ohs.append(jnp.dot(attn, vh[pi],
+                # head-major flat keep-mask: pack = row slice + lane tile
+                # (off-block attention is exactly 0 — see _pack_mask)
+                rows = _flat_slice(ak_ref[h], base, g, tq).astype(attn.dtype)
+                akg = jnp.tile(rows, (1, g)) if g > 1 else rows
+                attn = attn * akg * inv_keep
+            ohs.append(jnp.dot(attn, vg,
                                preferred_element_type=jnp.float32))
-        oh = jnp.stack(ohs, axis=0)                 # [P, Tq, dv]
+        og = jnp.concatenate(ohs, axis=0)           # [P*Tq, dv]
+        oh = og.reshape(p, tq, d_v)
         o_heads.append(oh)
         u = u + oh
 
     s = jnp.mean(u, axis=1)                         # [P, dv]
     gates = []
     for h in range(n_head):
-        g = jnp.dot(s, skw_ref[h].astype(jnp.float32),
-                    preferred_element_type=jnp.float32) + \
+        gl = jnp.dot(s, skw_ref[h].astype(jnp.float32),
+                     preferred_element_type=jnp.float32) + \
             skb_ref[h].astype(jnp.float32)
-        gates.append(g)                             # [P, dv]
+        gates.append(gl)                            # [P, dv]
     gmax = gates[0]
-    for g in gates[1:]:
-        gmax = jnp.maximum(gmax, g)
-    exps = [jnp.exp(g - gmax) for g in gates]
+    for gl in gates[1:]:
+        gmax = jnp.maximum(gmax, gl)
+    exps = [jnp.exp(gl - gmax) for gl in gates]
     denom = exps[0]
     for e in exps[1:]:
         denom = denom + e
@@ -149,17 +190,17 @@ def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
         gate_h = exps[h] / denom                    # [P, dv]
         o = o + o_heads[h] * gate_h[:, None, :]
 
+    # output projection + dropout + residual + LN, all FLAT [P*Tq, D]
     y = jnp.dot(o.reshape(p * tq, d_v).astype(xq.dtype), fcw_ref[:],
                 preferred_element_type=jnp.float32)
-    y = y.reshape(p, tq, d)
     if ok_ref is not None:
         y = y * ok_ref[:].astype(y.dtype) * inv_keep
-    y = y + xq.astype(jnp.float32)
+    y = y + xq2.astype(jnp.float32)
     mu = jnp.mean(y, axis=-1, keepdims=True)
     var = jnp.mean((y - mu) ** 2, axis=-1, keepdims=True)
     out = (y - mu) * jax.lax.rsqrt(var + 1e-6) * \
         lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
-    out_ref[:] = out.astype(out_ref.dtype)
+    out_ref[:] = out.reshape(p, tq, d).astype(out_ref.dtype)
 
 
 def _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
@@ -195,10 +236,12 @@ def _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
     ]
     operands = [x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask]
     if attn_keep is not None:
+        # head-major flat layouts ([H, P*Tq, Tk] / [P*Tq, D]): in-kernel
+        # pair packing is then a static row slice, never a concat
         in_specs += [
-            pl.BlockSpec((pt, n_head, tq, tk), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((n_head, pt * tq, tk), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((pt, tq, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((pt * tq, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ]
         operands += [attn_keep, out_keep]
@@ -245,32 +288,42 @@ def _bwd_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
     tk = xkv.shape[1]
     xq2 = xq.reshape(p * tq, d)
     xkv2 = xkv.reshape(p * tk, d)
-    mask = mask_ref[:]
+    gp = _pair_group(p)
+    maskg = _pack_mask(mask_ref[:], gp, tq, tk)
     scale = 1.0 / (d_k ** 0.5)
     inv_keep = 1.0 / keep_prob
+
+    def group_ak(h, base):
+        # [g*Tq, Tk] rows of the head-major flat keep-mask, lane-tiled to
+        # [g*Tq, g*Tk]: off-block attention is exactly 0, so the replicated
+        # off-block mask values multiply nothing
+        if ak_ref is None:
+            return None
+        rows = _flat_slice(ak_ref[h], base, gp, tq).astype(jnp.float32)
+        return jnp.tile(rows, (1, gp)) if gp > 1 else rows
 
     # ---- forward recompute (identical ordering to _kernel) ----
     o_heads = []
     u = jnp.zeros((p, tq, d_v), jnp.float32)
     for h in range(n_head):
-        qh = jnp.dot(xq2, wq_ref[h], preferred_element_type=jnp.float32)
+        qh = jnp.dot(xq2, wq_ref[h],
+                     preferred_element_type=jnp.float32) * scale
         kh = jnp.dot(xkv2, wk_ref[h], preferred_element_type=jnp.float32)
         vh = jnp.dot(xkv2, wv_ref[h], preferred_element_type=jnp.float32)
-        qh = qh.reshape(p, tq, d_k) * scale
-        kh = kh.reshape(p, tk, d_k)
-        vh = vh.reshape(p, tk, d_v)
         ohs = []
-        for pi in range(p):
+        for base in range(0, p, gp):
             attn = jax.lax.dot_general(
-                qh[pi], kh[pi], (((1,), (1,)), ((), ())),
+                _flat_slice(qh, base, gp, tq), _flat_slice(kh, base, gp, tk),
+                (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            attn = jnp.where(mask, attn, -1e9)
+            attn = jnp.where(maskg, attn, -1e9)
             attn = jax.nn.softmax(attn, axis=-1)
-            if ak_ref is not None:
-                attn = attn * ak_ref[pi, h].astype(attn.dtype) * inv_keep
-            ohs.append(jnp.dot(attn, vh[pi],
+            akg = group_ak(h, base)
+            if akg is not None:
+                attn = attn * akg * inv_keep
+            ohs.append(jnp.dot(attn, _flat_slice(vh, base, gp, tk),
                                preferred_element_type=jnp.float32))
-        oh = jnp.stack(ohs, axis=0)
+        oh = jnp.concatenate(ohs, axis=0).reshape(p, tq, d_v)
         o_heads.append(oh)
         u = u + oh
 
@@ -294,31 +347,32 @@ def _bwd_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
         o = o + o_heads[h] * gammas[h][:, None, :]
 
     o_cast = o.reshape(p * tq, d_v).astype(xq.dtype)
+    # LN/dropout/residual section stays FLAT [P*Tq, D] (the ok mask is
+    # flat; 3-D<->flat reshapes in Mosaic are not free)
     y0 = jnp.dot(o_cast, fcw_ref[:],
-                 preferred_element_type=jnp.float32).reshape(p, tq, d)
+                 preferred_element_type=jnp.float32)
     if ok_ref is not None:
         okf = ok_ref[:].astype(jnp.float32)
         yd = y0 * okf * inv_keep
     else:
         yd = y0
-    y = yd + xq.astype(jnp.float32)
+    y = yd + xq2.astype(jnp.float32)
     mu = jnp.mean(y, axis=-1, keepdims=True)
     var = jnp.mean((y - mu) ** 2, axis=-1, keepdims=True)
     r = jax.lax.rsqrt(var + 1e-6)
-    xhat = (y - mu) * r                              # [P, Tq, D]
+    xhat = (y - mu) * r                              # [P*Tq, D]
 
     # ---- backward ----
-    g = g_ref[:].astype(jnp.float32)                 # dL/dout
-    dlns_ref[:] = dlns_ref[:] + jnp.sum(g * xhat, axis=(0, 1))
-    dlnb_ref[:] = dlnb_ref[:] + jnp.sum(g, axis=(0, 1))
+    g = g_ref[:].astype(jnp.float32).reshape(p * tq, d)   # dL/dout
+    dlns_ref[:] = dlns_ref[:] + jnp.sum(g * xhat, axis=0)
+    dlnb_ref[:] = dlnb_ref[:] + jnp.sum(g, axis=0)
     dxhat = g * lns_ref[:].astype(jnp.float32)
     dy = r * (dxhat - jnp.mean(dxhat, axis=-1, keepdims=True) -
               xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True))
 
-    dxq_acc = dy                                     # residual branch
-    dy0 = dy * okf * inv_keep if ok_ref is not None else dy
+    dxq_acc = dy                                     # residual branch (flat)
+    dy0_flat = dy * okf * inv_keep if ok_ref is not None else dy
 
-    dy0_flat = dy0.reshape(p * tq, d)
     dfcw_ref[:] = dfcw_ref[:] + jnp.dot(
         o_cast.astype(jnp.float32).T, dy0_flat,
         preferred_element_type=jnp.float32)
@@ -341,41 +395,43 @@ def _bwd_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
             preferred_element_type=jnp.float32)
     du = ds_bar[:, None, :] / tq                     # mean over Tq
 
-    dxkv_acc = jnp.zeros((p, tk, d), jnp.float32)
+    dxkv_acc = jnp.zeros((p * tk, d), jnp.float32)
     for h in range(n_head):
-        # recompute per-head activations (second pass)
-        qh = jnp.dot(xq2, wq_ref[h], preferred_element_type=jnp.float32)
+        # recompute per-head activations (second pass), flat pair-major
+        qh = jnp.dot(xq2, wq_ref[h],
+                     preferred_element_type=jnp.float32) * scale
         kh = jnp.dot(xkv2, wk_ref[h], preferred_element_type=jnp.float32)
         vh = jnp.dot(xkv2, wv_ref[h], preferred_element_type=jnp.float32)
-        qh = qh.reshape(p, tq, d_k) * scale          # scaled q
-        kh = kh.reshape(p, tk, d_k)
-        vh = vh.reshape(p, tk, d_v)
-        doh = do * gammas[h][:, None, :] + du        # [P, Tq, dv]
+        doh = (do * gammas[h][:, None, :] + du).reshape(p * tq, d_v)
         dzs, dks, dvs = [], [], []
-        for pi in range(p):
+        for base in range(0, p, gp):
+            qg = _flat_slice(qh, base, gp, tq)        # [g*Tq, dk]
+            kg = _flat_slice(kh, base, gp, tk)
+            vg = _flat_slice(vh, base, gp, tk)
+            dog = _flat_slice(doh, base, gp, tq)      # [g*Tq, dv]
             attn = jax.lax.dot_general(
-                qh[pi], kh[pi], (((1,), (1,)), ((), ())),
+                qg, kg, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            attn = jnp.where(mask, attn, -1e9)
+            attn = jnp.where(maskg, attn, -1e9)
             probs = jax.nn.softmax(attn, axis=-1)    # P (pre-dropout)
-            if ak_ref is not None:
-                akf = ak_ref[pi, h].astype(jnp.float32)
-                pd = probs * akf * inv_keep
-            else:
-                pd = probs
+            akg = group_ak(h, base)
+            pd = probs * akg * inv_keep if akg is not None else probs
+            # off-block entries of probs/pd are exactly 0, so every
+            # cross-pair term in the packed matmuls below vanishes
             dpd = jax.lax.dot_general(
-                doh[pi], vh[pi], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [Tq, Tk]
-            dvs.append(jnp.dot(pd.T, doh[pi],
-                               preferred_element_type=jnp.float32))
-            dprobs = dpd * akf * inv_keep if ak_ref is not None else dpd
+                dog, vg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [g*Tq, g*Tk]
+            dvs.append(jax.lax.dot_general(
+                pd, dog, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))  # [g*Tk, dv]
+            dprobs = dpd * akg * inv_keep if akg is not None else dpd
             rowdot = jnp.sum(probs * dprobs, axis=-1, keepdims=True)
-            dsattn = probs * (dprobs - rowdot)       # [Tq, Tk]
-            dzs.append(jnp.dot(dsattn, kh[pi],
+            dsattn = probs * (dprobs - rowdot)       # [g*Tq, g*Tk]
+            dzs.append(jnp.dot(dsattn, kg,
                                preferred_element_type=jnp.float32) * scale)
             dks.append(jax.lax.dot_general(
-                dsattn, qh[pi], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))  # [Tk, dk]
+                dsattn, qg, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))  # [g*Tk, dk]
         dz = jnp.concatenate(dzs, axis=0)            # [P*Tq, dk]
         dk_all = jnp.concatenate(dks, axis=0)        # [P*Tk, dk]
         dv_all = jnp.concatenate(dvs, axis=0)        # [P*Tk, dv]
@@ -390,15 +446,15 @@ def _bwd_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
             preferred_element_type=jnp.float32)
         dxq_acc = dxq_acc + jnp.dot(
             dz, wq_ref[h].astype(jnp.float32).T,
-            preferred_element_type=jnp.float32).reshape(p, tq, d)
+            preferred_element_type=jnp.float32)
         dxkv_acc = dxkv_acc + (
             jnp.dot(dk_all, wk_ref[h].astype(jnp.float32).T,
                     preferred_element_type=jnp.float32) +
             jnp.dot(dv_all, wv_ref[h].astype(jnp.float32).T,
-                    preferred_element_type=jnp.float32)).reshape(p, tk, d)
+                    preferred_element_type=jnp.float32))
 
-    dxq_ref[:] = dxq_acc.astype(dxq_ref.dtype)
-    dxkv_ref[:] = dxkv_acc.astype(dxkv_ref.dtype)
+    dxq_ref[:] = dxq_acc.reshape(p, tq, d).astype(dxq_ref.dtype)
+    dxkv_ref[:] = dxkv_acc.reshape(p, tk, d).astype(dxkv_ref.dtype)
 
 
 def _fused_bwd_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
@@ -437,10 +493,11 @@ def _fused_bwd_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
     operands = [x_q, x_kv, wqh, wkh, wvh, skwh, skbh, fc_w, ln_s, ln_b,
                 mask]
     if attn_keep is not None:
-        in_specs += [pl.BlockSpec((pt, n_head, tq, tk),
-                                  lambda i: (i, 0, 0, 0),
+        in_specs += [pl.BlockSpec((n_head, pt * tq, tk),
+                                  lambda i: (0, i, 0),
                                   memory_space=pltpu.VMEM),
-                     per_pair(tq, d)]
+                     pl.BlockSpec((pt * tq, d), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)]
         operands += [attn_keep, out_keep]
     in_specs.append(per_pair(tq, d))                 # upstream cotangent
     operands.append(g)

@@ -18,6 +18,13 @@ matrices (each row has <=2 nonzeros) contracted against the feature map:
 which XLA maps straight onto the MXU.  The backward pass is the autodiff
 transpose of the same contractions — deterministic, unlike the reference's
 atomicAdd scatter backward (ROIAlign_cuda.cu:125+).
+
+The s x s sampling-grid average is folded INTO the interpolation matrices
+(the average of a separable bilinear kernel factorizes exactly into the
+per-axis averages), so the contractions produce the [out, out] grid
+directly — s^2 x less second-contraction work and no [out*s, out*s]
+intermediate (profiled: the unfolded version spent ~10 ms/step on a 205 MB
+f32 intermediate, its layout copy, and the 2x2 reduce).
 """
 
 from __future__ import annotations
@@ -51,7 +58,10 @@ def _interp_weights(start, bin_size, n_bins, n_samples, size):
     ) * frac[..., None]
     # low == size-1 => high out of bounds; cuda clamps to (low=high=size-1, frac=0)
     # our clip already gives frac=0 there, so the (grid==low) term carries weight 1.
-    return jnp.where(out_of_range[..., None], 0.0, w)
+    w = jnp.where(out_of_range[..., None], 0.0, w)
+    # fold the per-axis sample average into the matrix (see module docstring)
+    r = w.shape[0]
+    return jnp.mean(w.reshape(r, n_bins, n_samples, size), axis=2)
 
 
 @functools.partial(
@@ -77,16 +87,14 @@ def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, *, out_size: int = 7,
         roi_h = jnp.maximum(y2 - y1, 1.0)
         bw = roi_w / out_size
         bh = roi_h / out_size
-        wy = _interp_weights(y1, bh, out_size, s, hh)  # [R, PH*S, H]
-        wx = _interp_weights(x1, bw, out_size, s, ww)  # [R, PW*S, W]
+        wy = _interp_weights(y1, bh, out_size, s, hh)  # [R, PH, H]
+        wx = _interp_weights(x1, bw, out_size, s, ww)  # [R, PW, W]
         wy = wy.astype(fm.dtype)
         wx = wx.astype(fm.dtype)
         t = jnp.einsum("rih,hwc->riwc", wy, fm,
                        preferred_element_type=jnp.float32)
         o = jnp.einsum("rjw,riwc->rijc", wx, t.astype(fm.dtype),
                        preferred_element_type=jnp.float32)
-        r = rb.shape[0]
-        o = o.reshape(r, out_size, s, out_size, s, -1)
-        return o.mean(axis=(2, 4)).astype(fm.dtype)
+        return o.astype(fm.dtype)
 
     return jax.vmap(one)(feat, rois)

@@ -45,8 +45,9 @@ def test_kernel_matches_reference(mask_kind, dist):
 
 
 def make_keep_masks(rng, p=8, tq=64, tk=64, d=512, h=8, keep=0.9):
-    return (jnp.asarray(rng.rand(p, h, tq, tk) < keep),
-            jnp.asarray(rng.rand(p, tq, d) < keep))
+    # head-major flat layouts (see pallas_attention._reference_impl)
+    return (jnp.asarray(rng.rand(h, p * tq, tk) < keep),
+            jnp.asarray(rng.rand(p * tq, d) < keep))
 
 
 def test_dropout_kernel_matches_reference():

@@ -28,6 +28,10 @@ import jax
 if os.environ.get("AIT_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["AIT_PLATFORM"])
 
+# hardware RNG for dropout/sampling keys: threefry mask generation
+# profiled at ~7 ms/train-step; rbg lowers to the TPU RngBitGenerator
+jax.config.update("jax_default_prng_impl", "rbg")
+
 import jax.numpy as jnp
 import numpy as np
 
