@@ -111,15 +111,21 @@ def _pair_group(p):
 
 def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
             fcw_ref, lns_ref, lnb_ref, mask_ref, *rest, n_head, d_k,
-            d_v, dist, keep_prob):
+            d_v, dist, keep_prob, save_oh=False):
     """Mosaic constraints shape this kernel: the lane (minor) dimension can
     never be split by a reshape, so weights arrive per-head ([H, D, d]) and
     heads/pairs are static python loops over 2-D MXU matmuls; pairs are
     packed block-diagonally in groups of 2 to fill the 128-wide MXU
     (see _pack_mask).
 
-    With dropout, `rest` is (attn_keep_ref, out_keep_ref, out_ref); the
-    keep-masks ride the same pair-batch grid as the activations."""
+    With dropout, `rest` starts with (attn_keep_ref, out_keep_ref); the
+    keep-masks ride the same pair-batch grid as the activations.  With
+    save_oh, the per-head attention outputs are written as a second output
+    ([H, P*Tq, dv] f32) so the backward kernel skips its first recompute
+    pass with BITWISE-identical gradients (everything downstream of oh in
+    the forward is derived from these f32 values)."""
+    rest = list(rest)
+    ohall_ref = rest.pop() if save_oh else None
     if len(rest) == 3:
         ak_ref, ok_ref, out_ref = rest
     else:
@@ -167,6 +173,8 @@ def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
             ohs.append(jnp.dot(attn, vg,
                                preferred_element_type=jnp.float32))
         og = jnp.concatenate(ohs, axis=0)           # [P*Tq, dv]
+        if ohall_ref is not None:
+            ohall_ref[h] = og
         oh = og.reshape(p, tq, d_v)
         o_heads.append(oh)
         u = u + oh
@@ -205,7 +213,7 @@ def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
 
 def _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
                 attn_keep=None, out_keep=None, *, n_head, d_k, d_v, dist,
-                keep_prob, pair_tile, interpret):
+                keep_prob, pair_tile, interpret, save_oh=False):
     p, tq, d = x_q.shape
     tk = x_kv.shape[1]
     pt = min(pair_tile, p)
@@ -247,14 +255,23 @@ def _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
         operands += [attn_keep, out_keep]
 
     kern = functools.partial(_kernel, n_head=n_head, d_k=d_k, d_v=d_v,
-                             dist=dist, keep_prob=keep_prob)
+                             dist=dist, keep_prob=keep_prob, save_oh=save_oh)
+    out_specs = pl.BlockSpec((pt, tq, d), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((p, tq, d), x_q.dtype)
+    if save_oh:
+        out_specs = [out_specs,
+                     pl.BlockSpec((n_head, pt * tq, d_v), lambda i: (0, i, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((n_head, p * tq, d_v),
+                                          jnp.float32)]
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((pt, tq, d), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((p, tq, d), x_q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
@@ -264,16 +281,19 @@ def _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
 def _bwd_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
                 fcw_ref, lns_ref, lnb_ref, mask_ref, *rest, n_head, d_k,
                 d_v, keep_prob):
-    """Fused backward: recomputes the forward (flash-style — nothing but the
-    block inputs is saved) and produces every cotangent in one kernel.
-    Weight grads accumulate in VMEM-resident f32 output blocks across the
-    sequential pair-batch grid (init at program_id 0)."""
-    if len(rest) == 13:
-        (ak_ref, ok_ref, g_ref, dxq_ref, dxkv_ref, dwq_ref, dwk_ref,
-         dwv_ref, dskw_ref, dskb_ref, dfcw_ref, dlns_ref, dlnb_ref) = rest
+    """Fused backward: reads the forward's saved per-head attention outputs
+    (oh, f32 — gate/fc/LN recompute from them is bitwise what the forward
+    computed), recomputes only the attention probabilities for the softmax
+    backward, and produces every cotangent in one kernel.  Weight grads
+    accumulate in VMEM-resident f32 output blocks across the sequential
+    pair-batch grid (init at program_id 0)."""
+    if len(rest) == 14:
+        (ak_ref, ok_ref, oh_ref, g_ref, dxq_ref, dxkv_ref, dwq_ref,
+         dwk_ref, dwv_ref, dskw_ref, dskb_ref, dfcw_ref, dlns_ref,
+         dlnb_ref) = rest
     else:
-        (g_ref, dxq_ref, dxkv_ref, dwq_ref, dwk_ref, dwv_ref, dskw_ref,
-         dskb_ref, dfcw_ref, dlns_ref, dlnb_ref) = rest
+        (oh_ref, g_ref, dxq_ref, dxkv_ref, dwq_ref, dwk_ref, dwv_ref,
+         dskw_ref, dskb_ref, dfcw_ref, dlns_ref, dlnb_ref) = rest
         ak_ref = ok_ref = None
 
     @pl.when(pl.program_id(0) == 0)
@@ -302,28 +322,14 @@ def _bwd_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
         rows = _flat_slice(ak_ref[h], base, gp, tq).astype(jnp.float32)
         return jnp.tile(rows, (1, gp)) if gp > 1 else rows
 
-    # ---- forward recompute (identical ordering to _kernel) ----
+    # ---- forward values from the saved per-head attention outputs ----
+    # (f32, written by the forward kernel — everything below is bitwise
+    # what the forward computed; only the softmax probabilities are
+    # recomputed, in the grad loop)
     o_heads = []
     u = jnp.zeros((p, tq, d_v), jnp.float32)
     for h in range(n_head):
-        qh = jnp.dot(xq2, wq_ref[h],
-                     preferred_element_type=jnp.float32) * scale
-        kh = jnp.dot(xkv2, wk_ref[h], preferred_element_type=jnp.float32)
-        vh = jnp.dot(xkv2, wv_ref[h], preferred_element_type=jnp.float32)
-        ohs = []
-        for base in range(0, p, gp):
-            attn = jax.lax.dot_general(
-                _flat_slice(qh, base, gp, tq), _flat_slice(kh, base, gp, tk),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            attn = jnp.where(maskg, attn, -1e9)
-            attn = jax.nn.softmax(attn, axis=-1)
-            akg = group_ak(h, base)
-            if akg is not None:
-                attn = attn * akg * inv_keep
-            ohs.append(jnp.dot(attn, _flat_slice(vh, base, gp, tk),
-                               preferred_element_type=jnp.float32))
-        oh = jnp.concatenate(ohs, axis=0).reshape(p, tq, d_v)
+        oh = oh_ref[h].reshape(p, tq, d_v)
         o_heads.append(oh)
         u = u + oh
 
@@ -458,10 +464,13 @@ def _bwd_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
 
 
 def _fused_bwd_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
-                    mask, attn_keep, out_keep, g, *, n_head, d_k, d_v,
-                    keep_prob, pair_tile, interpret):
+                    mask, attn_keep, out_keep, oh_all, g, *, n_head, d_k,
+                    d_v, keep_prob, pair_tile, interpret):
     """Run the fused backward kernel; returns cotangents for the 10 array
-    inputs in the ORIGINAL (pre-per-head-reshape) weight layouts."""
+    inputs in the ORIGINAL (pre-per-head-reshape) weight layouts.
+
+    oh_all [H, P*Tq, dv] f32: the forward's saved per-head attention
+    outputs (second output of _fused_call(save_oh=True))."""
     p, tq, d = x_q.shape
     tk = x_kv.shape[1]
     # the backward holds ~2.5x the forward's live intermediates (o_heads for
@@ -499,6 +508,10 @@ def _fused_bwd_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
                      pl.BlockSpec((pt * tq, d), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)]
         operands += [attn_keep, out_keep]
+    in_specs.append(pl.BlockSpec((n_head, pt * tq, d_v),
+                                 lambda i: (0, i, 0),
+                                 memory_space=pltpu.VMEM))  # saved oh
+    operands.append(oh_all)
     in_specs.append(per_pair(tq, d))                 # upstream cotangent
     operands.append(g)
 
@@ -562,11 +575,20 @@ def fused_sh_attention(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
 
 def _fwd(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
          n_head, d_k, d_v, dist, pair_tile, interpret):
-    out = _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
-                      mask, n_head=n_head, d_k=d_k, d_v=d_v, dist=dist,
-                      keep_prob=1.0, pair_tile=pair_tile,
-                      interpret=interpret)
-    return out, (x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask)
+    if dist != "softmax":
+        out = _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s,
+                          ln_b, mask, n_head=n_head, d_k=d_k, d_v=d_v,
+                          dist=dist, keep_prob=1.0, pair_tile=pair_tile,
+                          interpret=interpret)
+        oh = None
+    else:
+        out, oh = _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w,
+                              ln_s, ln_b, mask, n_head=n_head, d_k=d_k,
+                              d_v=d_v, dist=dist, keep_prob=1.0,
+                              pair_tile=pair_tile, interpret=interpret,
+                              save_oh=True)
+    return out, (x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
+                 oh)
 
 
 def _mask_cotangent(mask):
@@ -575,7 +597,7 @@ def _mask_cotangent(mask):
 
 
 def _bwd(n_head, d_k, d_v, dist, pair_tile, interpret, res, g):
-    (x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask) = res
+    (x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask, oh) = res
     if dist != "softmax":
         # fused bwd kernel only implements the softmax dist; fall back to
         # gradient-of-the-reference (recompute)
@@ -583,10 +605,10 @@ def _bwd(n_head, d_k, d_v, dist, pair_tile, interpret, res, g):
             return _reference_impl(*args, n_head=n_head, d_k=d_k, d_v=d_v,
                                    dist=dist)
 
-        _, vjp = jax.vjp(f, *res)
+        _, vjp = jax.vjp(f, *res[:11])
         return vjp(g)
     grads = _fused_bwd_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s,
-                            ln_b, mask, None, None, g, n_head=n_head,
+                            ln_b, mask, None, None, oh, g, n_head=n_head,
                             d_k=d_k, d_v=d_v, keep_prob=1.0,
                             pair_tile=pair_tile, interpret=interpret)
     return grads + (_mask_cotangent(mask),)
@@ -619,27 +641,35 @@ def fused_sh_attention_dropout(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w,
 def _fwd_drop(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
               attn_keep, out_keep, n_head, d_k, d_v, dist, keep_prob,
               pair_tile, interpret):
-    out = _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
-                      mask, attn_keep, out_keep, n_head=n_head, d_k=d_k,
-                      d_v=d_v, dist=dist, keep_prob=keep_prob,
-                      pair_tile=pair_tile, interpret=interpret)
+    if dist != "softmax":
+        out = _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s,
+                          ln_b, mask, attn_keep, out_keep, n_head=n_head,
+                          d_k=d_k, d_v=d_v, dist=dist, keep_prob=keep_prob,
+                          pair_tile=pair_tile, interpret=interpret)
+        oh = None
+    else:
+        out, oh = _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w,
+                              ln_s, ln_b, mask, attn_keep, out_keep,
+                              n_head=n_head, d_k=d_k, d_v=d_v, dist=dist,
+                              keep_prob=keep_prob, pair_tile=pair_tile,
+                              interpret=interpret, save_oh=True)
     return out, (x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
-                 attn_keep, out_keep)
+                 attn_keep, out_keep, oh)
 
 
 def _bwd_drop(n_head, d_k, d_v, dist, keep_prob, pair_tile, interpret,
               res, g):
     (x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask, attn_keep,
-     out_keep) = res
+     out_keep, oh) = res
     if dist != "softmax":
         def f(*args):
             return _reference_impl(*args, n_head=n_head, d_k=d_k, d_v=d_v,
                                    dist=dist, keep_prob=keep_prob)
 
-        _, vjp = jax.vjp(f, *res)
+        _, vjp = jax.vjp(f, *res[:13])
         return vjp(g)
     grads = _fused_bwd_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s,
-                            ln_b, mask, attn_keep, out_keep, g,
+                            ln_b, mask, attn_keep, out_keep, oh, g,
                             n_head=n_head, d_k=d_k, d_v=d_v,
                             keep_prob=keep_prob, pair_tile=pair_tile,
                             interpret=interpret)
