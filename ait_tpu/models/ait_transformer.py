@@ -64,12 +64,20 @@ class DecoderLayer(nn.Module):
     use_pallas: bool = True
 
     @nn.compact
-    def __call__(self, x, enc_out, slf_mask, cross_mask, *, deterministic=True):
+    def __call__(self, x, enc_out, slf_mask, cross_mask, *, deterministic=True,
+                 repeat: int = 1):
         x, _ = MultiHeadAttention(
             self.n_head, self.d_model, self.d_k, self.d_v, self.dropout,
             self.dist, self.dtype, use_pallas=self.use_pallas,
             name="slf_attn")(
                 x, x, x, slf_mask, deterministic=deterministic)
+        if repeat > 1:
+            # eval-path de-duplication: the decoder stream is per-IMAGE until
+            # cross-attention (the reference tiles the query per proposal
+            # BEFORE the decoder, Models.py:250 — identical rows when
+            # dropout is off); repeating here is bitwise the same and runs
+            # the input LN + self-attention once per image, not per proposal
+            x = jnp.repeat(x, repeat, axis=0)
         x, _ = MultiHeadAttention(
             self.n_head, self.d_model, self.d_k, self.d_v, self.dropout,
             self.dist, self.dtype, use_pallas=self.use_pallas,
@@ -112,7 +120,13 @@ class AITTransformer(nn.Module):
                           name="dec_emb")(x_query)
 
         src = x_props.reshape(bp, hp * wp, d)
-        trg = jnp.repeat(x_query.reshape(bs, hq * wq, d), num_props, axis=0)
+        trg = x_query.reshape(bs, hq * wq, d)
+        # at train time dropout draws differ per proposal, so the tile must
+        # happen up front (reference semantics); at eval the repeat is
+        # deferred into the first decoder layer (see DecoderLayer.repeat)
+        dec_repeat = num_props if (deterministic and num_props > 1) else 1
+        if dec_repeat == 1:
+            trg = jnp.repeat(trg, num_props, axis=0)
 
         n_s, n_t = src.shape[1], trg.shape[1]
         # zero-pad proposal tokens to the query length (Models.py:269-270)
@@ -142,7 +156,8 @@ class AITTransformer(nn.Module):
                 self.d_model, self.d_inner, self.n_head, self.d_k, self.d_v,
                 self.dropout, self.dist, self.dtype, self.use_pallas,
                 name=f"dec_layer{i}")(
-                    dec, enc, trg_mask, src_mask, deterministic=deterministic)
+                    dec, enc, trg_mask, src_mask, deterministic=deterministic,
+                    repeat=dec_repeat if i == 0 else 1)
 
         out = dec.reshape(bp, hq, wq, d)
         out = nn.Conv(self.channels, (1, 1), dtype=self.dtype,

@@ -183,15 +183,24 @@ def batched_nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray,
     """
     n = boxes.shape[1]
     k = min(pre_topk, n)
+    # align the candidate count to the sweep tile: rows past `k` are taken
+    # by top_k but marked invalid, so results are bitwise identical to an
+    # exact-k truncation while the sweep sees no partial tile.  (Also works
+    # around a libtpu fault observed ONLY at unaligned k=6000 inside the
+    # full eval program — pre=12000 and small canvases were fine, and every
+    # op reproduced clean standalone.)
+    k_eff = min(n, -(-k // tile) * tile)
     if valid is None:
         valid = jnp.ones(scores.shape, bool)
     scores = jnp.where(valid, scores, NEG_INF)
 
-    top_sc, order = lax.top_k(scores, k)                 # [B, k]
+    top_sc, order = lax.top_k(scores, k_eff)             # [B, k_eff]
     sb = jnp.take_along_axis(boxes, order[..., None], axis=1)
     # validity rides the score (invalid rows were set to NEG_INF above):
     # saves a [B, N] bool gather, ~1 ms/step at train shapes
     sva = top_sc > NEG_INF / 2
+    if k_eff > k:
+        sva = sva & (jnp.arange(k_eff) < k)[None, :]
 
     def keep_xla(sb, sva):
         return jax.vmap(lambda b_, v_: nms_keep_mask(
