@@ -38,8 +38,13 @@ class FrozenBatchNorm(nn.Module):
         bias = self.param("bias", zeros_init, (self.features,))
         mean = self.param("mean", zeros_init, (self.features,))
         var = self.param("var", nn.initializers.ones, (self.features,))
-        w = scale * lax.rsqrt(var + self.eps)
-        b = bias - mean * w
+        # stop_gradient: the optimizer masks these params anyway (frozen for
+        # the whole run), but without it XLA still computes a dscale/dbias
+        # reduction over every activation in the backward — ~50 wasted
+        # full-tensor reductions per step
+        w, b_, m, v = (lax.stop_gradient(t) for t in (scale, bias, mean, var))
+        w = w * lax.rsqrt(v + self.eps)
+        b = b_ - m * w
         return x * w.astype(x.dtype) + b.astype(x.dtype)
 
 

@@ -103,7 +103,9 @@ class ResNetBackbone(nn.Module):
     @nn.compact
     def __call__(self, x, return_stages: bool = False):
         n1, n2, n3, _ = STAGES[self.variant]
-        w = _Conv1Kernel(name="conv1")()          # [7, 7, 3, 64]
+        # frozen stem (optimizer-masked); stop_gradient prunes its dW
+        # convolution from the backward
+        w = jax.lax.stop_gradient(_Conv1Kernel(name="conv1")())  # [7,7,3,64]
         x = x.astype(self.dtype)
         if self.s2d_stem and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             # space-to-depth rewrite of conv 7x7/2: mathematically exact
