@@ -58,3 +58,19 @@ def test_batched_nms_topk_dispatch_equivalence(rng):
         else:
             for a, bb in zip(ref, out):
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
+
+def test_aligned_pre_topk_is_exact_truncation(rng):
+    """k_eff tile-alignment takes extra candidates but marks them invalid:
+    results must equal running on an exactly pre-truncated candidate set."""
+    b, n, pre, post = 2, 700, 300, 64  # pre unaligned to the 256 tile
+    boxes, scores = clustered_boxes(rng, b, n)
+    full = batched_nms_topk(jnp.asarray(boxes), jnp.asarray(scores),
+                            0.6, pre, post, use_pallas=False)
+    order = np.argsort(-scores, axis=1)[:, :pre]
+    tb = np.take_along_axis(boxes, order[..., None], axis=1)
+    ts = np.take_along_axis(scores, order, axis=1)
+    trunc = batched_nms_topk(jnp.asarray(tb), jnp.asarray(ts),
+                             0.6, pre, post, use_pallas=False)
+    for a, c in zip(full, trunc):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
