@@ -345,24 +345,30 @@ class OneShotLoader:
                   batch_fn=None):
         if not batches:
             return
+        num_workers = max(1, num_workers)   # 0 = synchronous single worker
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         stop = threading.Event()
 
         def producer():
-            if batch_fn is not None:   # native path: C++ threads, no pool
-                for idxs in batches:
-                    if stop.is_set():
-                        break
-                    q.put(batch_fn(idxs, num_workers))
+            # any producer failure must reach the consumer — a dead
+            # producer with an empty queue deadlocks q.get() forever
+            try:
+                if batch_fn is not None:  # native path: C++ threads, no pool
+                    for idxs in batches:
+                        if stop.is_set():
+                            break
+                        q.put(batch_fn(idxs, num_workers))
+                else:
+                    with ThreadPoolExecutor(num_workers) as pool:
+                        for idxs in batches:
+                            if stop.is_set():
+                                break
+                            items = list(pool.map(item_fn, idxs))
+                            q.put(self._collate(items))
+            except BaseException as e:  # noqa: BLE001
+                q.put(e)
+            else:
                 q.put(None)
-                return
-            with ThreadPoolExecutor(num_workers) as pool:
-                for idxs in batches:
-                    if stop.is_set():
-                        break
-                    items = list(pool.map(item_fn, idxs))
-                    q.put(self._collate(items))
-            q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -371,6 +377,8 @@ class OneShotLoader:
                 batch = q.get()
                 if batch is None:
                     break
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

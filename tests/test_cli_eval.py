@@ -1,0 +1,54 @@
+"""End-to-end CLI integration: tools/test_net.py on a synthetic VOC devkit.
+
+Drives the full evaluation surface in one go — cfg-file resolution +
+--set overrides, dataset load + seen-split filter, the one-shot pair
+loader, the jitted eval forward + on-device postprocess, the VOC AP
+evaluator, the per-shot detection pickle cache, and shot averaging — the
+reference's `test_net_voc.py` flow end to end (random init; the AP value
+is irrelevant, the plumbing is what's under test).
+"""
+
+import os
+import pickle
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+from fixtures import make_voc_devkit
+
+
+def test_test_net_cli(tmp_path):
+    import test_net as cli
+
+    devkit = make_voc_devkit(str(tmp_path / "VOCdevkit2007"))
+    assert os.path.isdir(devkit)
+
+    out_dir = str(tmp_path / "output")
+    argv = [
+        "--dataset", "pascal_voc", "--net", "res50",
+        "--data_dir", str(tmp_path), "--seen", "2", "--a", "2",
+        "--bs", "2", "--nw", "0", "--debug",
+        "--output_dir", out_dir,
+        "--save_dir", str(tmp_path / "models"),
+        "--set",
+        "tpu.image_size", "(128, 160)",
+        "tpu.portrait_bucket", "False",
+        "TEST.SCALES", "(100,)",
+        "TEST.RPN_PRE_NMS_TOP_N", "256",
+        "TEST.RPN_POST_NMS_TOP_N", "32",
+    ]
+    results = cli.main(argv)
+
+    # one result dict per query-shot pass, mAP over the unseen split
+    assert len(results) == 2
+    for res in results:
+        assert "mAP" in res and np.isfinite(res["mAP"])
+    # detection caches written per pass
+    pkls = [f for f in os.listdir(out_dir) if f.endswith(".pkl")]
+    assert len(pkls) == 2
+    with open(os.path.join(out_dir, sorted(pkls)[0]), "rb") as f:
+        all_boxes = pickle.load(f)
+    assert isinstance(all_boxes, dict) and len(all_boxes) > 0
