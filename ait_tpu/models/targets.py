@@ -108,9 +108,13 @@ def anchor_targets(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
         labels = jnp.where((labels == 0) & ~keep_bg, -1, labels)
 
         # one-hot contraction instead of a row gather (gathers profile at
-        # ~1 ms/step on TPU for the anchor set; G is tiny)
+        # ~1 ms/step on TPU for the anchor set; G is tiny).  HIGHEST
+        # precision: the MXU's default bf16 truncation shifts coords >=1024
+        # by up to ~4 px (ulp=8), silently skewing regression targets.
         onehot = jax.nn.one_hot(argmax_gt, gt.shape[0], dtype=jnp.float32)
-        targets = bbox_transform(anchors, onehot @ gt[:, :4])
+        matched = jax.lax.dot(onehot, gt[:, :4],
+                              precision=jax.lax.Precision.HIGHEST)
+        targets = bbox_transform(anchors, matched)
         inside_w = jnp.where(labels == 1, 1.0, 0.0)[:, None] * jnp.ones(4)
         num_examples = jnp.maximum(jnp.sum(labels >= 0), 1)
         outside_w = jnp.where(labels >= 0, 1.0 / num_examples,

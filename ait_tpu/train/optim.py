@@ -37,7 +37,11 @@ def param_label(path) -> str:
     # stem conv1 + bn1 of the backbone are excluded from the optimizer
     if len(keys) >= 2 and keys[0] == "backbone" and keys[1] == "conv1":
         return "frozen"
-    if leaf == "bias":
+    # the reference groups any param whose *name* contains 'bias'
+    # (trainval_net_voc.py:291) — that includes the torch RNN biases
+    # bias_ih_l*/bias_hh_l*, which here are the b_ih/b_hh leaves of
+    # ContextualRelation._RNNDirection.
+    if leaf == "bias" or leaf.startswith("b_") or "bias" in leaf:
         return "bias"
     return "weight"
 
