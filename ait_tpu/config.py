@@ -140,7 +140,7 @@ class TpuConfig:
     image_size: Tuple[int, int] = (608, 800)   # padded (H, W); 600-scale bucket
     query_hw: int = 128                        # == TRAIN.query_size
     max_gt_boxes: int = 20                     # MAX_NUM_GT_BOXES
-    roi_sampling_ratio: int = 2                # static grid (ref uses adaptive ratio=0)
+    roi_sampling_ratio: int = 0                # <=0: reference's adaptive grid; >0: static
     nms_tile: int = 256                        # blocked-NMS tile size
     use_pallas_attention: bool = True          # fused attention kernel (eval)
     use_pallas_nms: bool = True                # Mosaic greedy-NMS sweep kernel

@@ -1,5 +1,7 @@
 """ROI Align vs. a naive numpy port of the CUDA kernel semantics
-(ROIAlign_cuda.cu:64-122) with a static sampling grid."""
+(ROIAlign_cuda.cu:64-122), both static and adaptive (ratio=0) grids."""
+
+import pytest
 
 import numpy as np
 import jax.numpy as jnp
@@ -32,19 +34,23 @@ def np_roi_align(feat, rois, out_size, scale, ratio):
         rw = max(x2 - x1, 1.0)
         rh = max(y2 - y1, 1.0)
         bw, bh = rw / out_size, rh / out_size
+        # adaptive grid, ROIAlign_cuda.cu:100-101
+        gh = ratio if ratio > 0 else int(np.ceil(rh / out_size))
+        gw = ratio if ratio > 0 else int(np.ceil(rw / out_size))
         for ph in range(out_size):
             for pw in range(out_size):
                 acc = np.zeros(cc)
-                for iy in range(ratio):
-                    for ix in range(ratio):
-                        y = y1 + ph * bh + (iy + 0.5) * bh / ratio
-                        x = x1 + pw * bw + (ix + 0.5) * bw / ratio
+                for iy in range(gh):
+                    for ix in range(gw):
+                        y = y1 + ph * bh + (iy + 0.5) * bh / gh
+                        x = x1 + pw * bw + (ix + 0.5) * bw / gw
                         acc += bilinear(y, x)
-                out[r, ph, pw] = acc / (ratio * ratio)
+                out[r, ph, pw] = acc / (gh * gw)
     return out
 
 
-def test_roi_align_matches_naive(rng):
+@pytest.mark.parametrize("ratio", [2, 0])
+def test_roi_align_matches_naive(rng, ratio):
     feat = rng.randn(1, 24, 32, 8).astype(np.float32)
     rois = np.array(
         [
@@ -53,14 +59,16 @@ def test_roi_align_matches_naive(rng):
             [37.3, 21.7, 200.1, 150.9],  # fractional
             [50, 50, 50, 50],       # degenerate -> forced 1x1
             [0, 0, 0, 0],           # zero box (padding row)
+            [0, 0, 500, 380],       # whole canvas -> max adaptive grid
+            [3.7, 9.1, 30.0, 22.5], # tiny -> adaptive grid = 1
         ],
         np.float32,
     )[None]
     got = np.asarray(
         roi_align(jnp.asarray(feat), jnp.asarray(rois), out_size=7,
-                  spatial_scale=1 / 16.0, sampling_ratio=2)
+                  spatial_scale=1 / 16.0, sampling_ratio=ratio)
     )
-    ref = np_roi_align(feat[0], rois[0], 7, 1 / 16.0, 2)
+    ref = np_roi_align(feat[0], rois[0], 7, 1 / 16.0, ratio)
     np.testing.assert_allclose(got[0], ref, rtol=1e-4, atol=1e-4)
 
 
