@@ -88,6 +88,55 @@ def convert_backbone(state_dict: Dict[str, "object"],
     return out
 
 
+# torchvision vgg16 features index -> conv name (vgg16.py:38 uses
+# features[:-1]; indices skip the interleaved ReLU/MaxPool modules)
+_VGG_FEATURES = {0: "conv1_1", 2: "conv1_2", 5: "conv2_1", 7: "conv2_2",
+                 10: "conv3_1", 12: "conv3_2", 14: "conv3_3",
+                 17: "conv4_1", 19: "conv4_2", 21: "conv4_3",
+                 24: "conv5_1", 26: "conv5_2", 28: "conv5_3"}
+
+
+def _vgg_fc6(w: np.ndarray) -> np.ndarray:
+    """classifier.0 weight [4096, C*H*W] (torch CHW flatten order) ->
+    [H*W*C, 4096] (flax HWC flatten order).  H=W=7, C=512."""
+    o, i = np.asarray(w).shape
+    c, s = 512, int(round((i / 512) ** 0.5))
+    assert c * s * s == i, f"unexpected fc6 in-dim {i}"
+    return (np.asarray(w).reshape(o, c, s, s)
+            .transpose(2, 3, 1, 0).reshape(i, o))
+
+
+def convert_vgg_backbone(state_dict: Dict[str, "object"],
+                         strip_module: bool = True) -> dict:
+    """torchvision/caffe-layout vgg16 state_dict (vgg16_caffe.pth,
+    vgg16.py:31-33) -> {'backbone': conv1_1..conv5_3, 'top': fc6/fc7}.
+
+    classifier.6 (the 1000-way head) is dropped — the reference keeps
+    classifier[:-1] (vgg16.py:35).  fc6 gets the CHW->HWC input-dim
+    permutation (torch flattens [C,7,7]; flax flattens [7,7,C]).
+    """
+    out: dict = {}
+    for key, val in state_dict.items():
+        if strip_module and key.startswith("module."):
+            key = key[len("module."):]
+        parts = key.split(".")
+        val = np.asarray(getattr(val, "numpy", lambda: val)())
+        if parts[0] == "features" and int(parts[1]) in _VGG_FEATURES:
+            name = _VGG_FEATURES[int(parts[1])]
+            if parts[2] == "weight":
+                _set(out, ("backbone", name, "kernel"), _conv(val))
+            else:
+                _set(out, ("backbone", name, "bias"), val)
+        elif parts[0] == "classifier" and parts[1] in ("0", "3"):
+            name = "fc6" if parts[1] == "0" else "fc7"
+            if parts[2] == "weight":
+                w = _vgg_fc6(val) if name == "fc6" else _linear(val)
+                _set(out, ("top", name, "kernel"), w)
+            else:
+                _set(out, ("top", name, "bias"), val)
+    return out
+
+
 # torch module path prefix -> (flax path, kind); kind: conv|linear|norm|bn
 _MHA_SUBS = [
     ("w_qs.weight", ("w_qs", "kernel"), _linear),

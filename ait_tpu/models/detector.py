@@ -220,8 +220,8 @@ class AITDetector(nn.Module):
         props = self.transformer(props, non_qry, deterministic=det)
         props, qfeat = self.sk(props, non_qry)
 
-        props_vec = self.top(props)                        # [B*R, D]
-        query_vec = self.top(qfeat)                        # [B, D]
+        props_vec = self.top(props, deterministic=det)     # [B*R, D]
+        query_vec = self.top(qfeat, deterministic=det)     # [B, D]
 
         if query_scale is not None:
             # "Recurrent Excitation": both streams scaled by the QUERY's

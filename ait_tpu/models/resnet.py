@@ -239,7 +239,10 @@ class ResNetTop(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
+        # deterministic is unused (no dropout here) — the arg keeps the
+        # head_to_tail call signature uniform with VGGTop's.
+        del deterministic
         _, _, _, n4 = STAGES[self.variant]
         x = ResNetStage(512, n4, 2, self.dtype, name="layer4")(x)
         return jnp.mean(x, axis=(1, 2))

@@ -37,6 +37,10 @@ def param_label(path) -> str:
     # stem conv1 + bn1 of the backbone are excluded from the optimizer
     if len(keys) >= 2 and keys[0] == "backbone" and keys[1] == "conv1":
         return "frozen"
+    # vgg16: "fix the layers before conv3" (vgg16.py:40-42) = conv1_*/conv2_*
+    if len(keys) >= 2 and keys[0] == "backbone" and (
+            keys[1].startswith("conv1_") or keys[1].startswith("conv2_")):
+        return "frozen"
     # the reference groups any param whose *name* contains 'bias'
     # (trainval_net_voc.py:291) — that includes the torch RNN biases
     # bias_ih_l*/bias_hh_l*, which here are the b_ih/b_hh leaves of

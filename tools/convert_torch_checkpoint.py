@@ -28,14 +28,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import torch
 
-from ait_tpu.convert import convert_backbone, convert_detector
+from ait_tpu.convert import (convert_backbone, convert_detector,
+                             convert_vgg_backbone)
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
-    p.add_argument("--kind", choices=["auto", "backbone", "detector"],
+    p.add_argument("--kind",
+                   choices=["auto", "backbone", "vgg_backbone", "detector"],
                    default="auto")
     args = p.parse_args(argv)
 
@@ -49,9 +51,13 @@ def main(argv=None):
     sd = blob.get("model") if kind == "detector" else \
         blob.get("state_dict", blob)
     sd = {k: v for k, v in sd.items()}
+    if kind == "backbone" and any(
+            k.split("module.")[-1].startswith("features.") for k in sd):
+        kind = "vgg_backbone"   # torchvision/caffe vgg16 layout
 
-    tree = (convert_detector(sd) if kind == "detector"
-            else convert_backbone(sd))
+    tree = {"detector": convert_detector,
+            "backbone": convert_backbone,
+            "vgg_backbone": convert_vgg_backbone}[kind](sd)
 
     def count(t):
         return sum(count(v) if isinstance(v, dict) else 1
