@@ -89,9 +89,11 @@ class TestConfig:
     RPN_POST_NMS_TOP_N: int = 300
     RPN_MIN_SIZE: int = 16
     MODE: str = "nms"
-    # score threshold + per-image cap applied by the test CLI
-    # (reference test_net_voc.py:424-450)
-    SCORE_THRESH: float = 0.05
+    # score threshold + per-image cap applied by the test CLI.  The
+    # reference's live eval thresholds at 0.0 and only raises to 0.05 under
+    # --vis (test_net_voc.py:311-313,424); 0.0 is therefore the default and
+    # the CLI bumps it for visualization runs.
+    SCORE_THRESH: float = 0.0
     MAX_PER_IMAGE: int = 100
 
 

@@ -78,6 +78,19 @@ def load_coco(data_path: str, year: str, image_set: str,
     data_name = view_map.get(image_set + year, image_set + year)
     ann_file = os.path.join(data_path, "annotations",
                             f"instances_{image_set}{year}.json")
+
+    # record cache (the reference pickles its roidb, coco.py:91-99); a hit
+    # skips both the instances-json parse and the per-annotation loop —
+    # the evaluator's gt index is rebuilt lazily only if eval needs it
+    cache_file = (os.path.join(cache_dir, f"{name}_records.pkl")
+                  if cache_dir else None)
+    if cache_file and os.path.exists(cache_file):
+        with open(cache_file, "rb") as f:
+            classes, records, cat_data = pickle.load(f)
+        view = DatasetView(name, classes, records, cat_data)
+        view._coco_ann_file = ann_file
+        return view
+
     gt = COCOGt(ann_file)
 
     if reference_file is None:
@@ -133,8 +146,15 @@ def load_coco(data_path: str, year: str, image_set: str,
             difficult=np.asarray(crowd, np.int32))
         records.append(rec)
 
+    if cache_file:
+        os.makedirs(cache_dir, exist_ok=True)
+        with open(cache_file, "wb") as f:
+            pickle.dump((classes, records, cat_data), f,
+                        pickle.HIGHEST_PROTOCOL)
+
     view = DatasetView(name, classes, records, cat_data)
-    view.coco_gt = gt  # type: ignore[attr-defined]
+    view._coco_ann_file = ann_file
+    view.coco_gt = gt
     return view
 
 

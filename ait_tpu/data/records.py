@@ -51,6 +51,21 @@ class DatasetView:
     records: List[ImageRecord]
     cat_data: dict                      # class_ind -> [QueryExemplar]
     allowed_classes: List[int] = field(default_factory=list)
+    # COCO only: gt index for the evaluator, built lazily from the
+    # annotation json so record-cache hits skip the parse entirely
+    _coco_gt: Any = field(default=None, repr=False)
+    _coco_ann_file: Any = field(default=None, repr=False)
+
+    @property
+    def coco_gt(self):
+        if self._coco_gt is None and self._coco_ann_file:
+            from ait_tpu.data.coco import COCOGt
+            self._coco_gt = COCOGt(self._coco_ann_file)
+        return self._coco_gt
+
+    @coco_gt.setter
+    def coco_gt(self, gt):
+        self._coco_gt = gt
 
     @property
     def num_classes(self) -> int:

@@ -20,11 +20,19 @@ def postprocess_detections(rois, cls_prob, bbox_pred, im_info, *,
                            nms_thresh: float = 0.3, score_thresh: float = 0.0,
                            max_per_image: int = 100,
                            bbox_normalize_means=(0.0, 0.0, 0.0, 0.0),
-                           bbox_normalize_stds=(0.1, 0.1, 0.2, 0.2)):
+                           bbox_normalize_stds=(0.1, 0.1, 0.2, 0.2),
+                           tie_inclusive: bool = True):
     """rois [B,R,5], cls_prob [B,R,1], bbox_pred [B,R,4], im_info [B,3].
 
-    Returns (dets [B, max_per_image, 5], valid [B, max_per_image]) in
-    original-image coordinates, descending score.
+    Returns (dets [B, K, 5], valid [B, K]) in original-image coordinates,
+    descending score.
+
+    tie_inclusive=True reproduces the reference's cap exactly
+    (test_net_voc.py:441-450): when more than max_per_image survive NMS, the
+    cut is `score >= (max_per_image-th highest score)` — score TIES at the
+    threshold are all kept, so K = R (the static candidate count) with a
+    validity mask.  tie_inclusive=False truncates to exactly K =
+    max_per_image rows.
     """
     means = jnp.asarray(bbox_normalize_means, jnp.float32)
     stds = jnp.asarray(bbox_normalize_stds, jnp.float32)
@@ -43,8 +51,17 @@ def postprocess_detections(rois, cls_prob, bbox_pred, im_info, *,
     valid = real & (scores > score_thresh)
 
     r = boxes.shape[1]
+    post_topk = r if tie_inclusive else max_per_image
     out_b, out_s, out_v = batched_nms_topk(
-        boxes, scores, nms_thresh, pre_topk=r, post_topk=max_per_image,
+        boxes, scores, nms_thresh, pre_topk=r, post_topk=post_topk,
         valid=valid)
+    if tie_inclusive and r > max_per_image:
+        # image_thresh = the max_per_image-th highest surviving score,
+        # applied with >= only when the survivor count exceeds the cap
+        n_valid = jnp.sum(out_v, axis=1)
+        ranked = jnp.where(out_v, out_s, -jnp.inf)
+        kth = jnp.sort(ranked, axis=1)[:, -max_per_image]
+        cut = jnp.where(n_valid > max_per_image, kth, -jnp.inf)
+        out_v = out_v & (out_s >= cut[:, None])
     dets = jnp.concatenate([out_b, out_s[..., None]], axis=-1)
     return dets, out_v

@@ -92,3 +92,24 @@ def test_group_splits(tmp_path):
     # 4 classes -> split by ind % 4
     v = filter_seen(view, seen=2, group=1)
     assert v.allowed_classes == [1]  # ind 1 of 4
+
+
+def test_record_cache_roundtrip(tmp_path):
+    """cache_dir: second load skips the json parse (reference pickles its
+    roidb, coco.py:91-99); coco_gt still reachable lazily for eval."""
+    data = write_dataset(tmp_path)
+    cache = tmp_path / "cache"
+    v1 = load_coco(str(data), "2017", "train", cache_dir=str(cache))
+    assert (cache / "coco_2017_train_records.pkl").exists()
+    v2 = load_coco(str(data), "2017", "train", cache_dir=str(cache))
+    assert v2._coco_gt is None          # not built on cache hit...
+    assert len(v2.records) == len(v1.records)
+    assert v2.classes == v1.classes
+    for r1, r2 in zip(v1.records, v2.records):
+        np.testing.assert_array_equal(r1.boxes, r2.boxes)
+        np.testing.assert_array_equal(r1.gt_classes, r2.gt_classes)
+    assert {k: len(v) for k, v in v1.cat_data.items()} == \
+        {k: len(v) for k, v in v2.cat_data.items()}
+    # ...but available on demand
+    assert isinstance(v2.coco_gt, COCOGt)
+    assert len(v2.coco_gt.annotations) == len(v1.coco_gt.annotations)

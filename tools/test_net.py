@@ -86,7 +86,7 @@ def build_view(args, cfg):
     if args.dataset == "coco":
         year, split = args.coco_set.split("_", 1)
         view = coco_data.load_coco(os.path.join(args.data_dir, "coco"),
-                                   year, split, cache_dir=None)
+                                   year, split, cache_dir=cache)
         return coco_data.filter_seen(view, args.seen,
                                      cfg.test_categories[0])
     devkit = os.path.join(args.data_dir, "VOCdevkit2007")
@@ -161,11 +161,13 @@ def main(argv=None):
         import json
         saved = json.load(open(cfg_json))
         cfg = cfg.override(["POOLING_MODE", repr(saved["POOLING_MODE"])])
+        # adopt the ENTIRE saved model block — evaluating with any
+        # architecture knob different from the run's would silently build
+        # the wrong model
+        known = {f.name for f in dataclasses.fields(cfg.model)}
         cfg = cfg.replace(model=dataclasses.replace(
-            cfg.model, sk_gate=saved["model"]["sk_gate"],
-            t_causal_mask=saved["model"]["t_causal_mask"],
-            t_attn_dist=saved["model"]["t_attn_dist"],
-            coatt_normalization=saved["model"]["coatt_normalization"]))
+            cfg.model, **{k: v for k, v in saved["model"].items()
+                          if k in known}))
         printer("Adopted train-time knobs from ", cfg_json)
     view = build_view(args, cfg)
     printer(f"{len(view.records)} eval images, "
@@ -193,8 +195,13 @@ def main(argv=None):
                 c="yellow")
 
     eval_step = jax.jit(make_eval_step(model))
+    # the reference thresholds at 0.0 and raises to 0.05 only under --vis
+    # (test_net_voc.py:311-313)
+    score_thresh = max(cfg.TEST.SCORE_THRESH,
+                       0.05 if args.visualization else 0.0)
     post = jax.jit(lambda r, c, b, ii: postprocess_detections(
         r, c, b, ii, nms_thresh=cfg.TEST.NMS,
+        score_thresh=score_thresh,
         max_per_image=cfg.TEST.MAX_PER_IMAGE,
         bbox_normalize_means=cfg.TRAIN.BBOX_NORMALIZE_MEANS,
         bbox_normalize_stds=cfg.TRAIN.BBOX_NORMALIZE_STDS))

@@ -122,7 +122,7 @@ def build_view(args, cfg):
     if args.dataset == "coco":
         year, split = args.coco_set.split("_", 1)
         view = coco_data.load_coco(os.path.join(args.data_dir, "coco"),
-                                   year, split, cache_dir=None)
+                                   year, split, cache_dir=cache)
         return coco_data.filter_seen(view, args.seen,
                                      cfg.train_categories[0])
     sets = ([("2007", "trainval")] if args.dataset == "pascal_voc"
