@@ -1,0 +1,116 @@
+"""shard_map data-parallel train/eval steps.
+
+Why not plain GSPMD (jit over sharded inputs)?  GSPMD has no partitioning
+rule for `pallas_call`, so a data-sharded jit program replicates the two
+Mosaic kernels (fused AIT attention, greedy-NMS sweep): it all-gathers the
+full pair batch onto every chip, runs the whole kernel everywhere, and
+slices the local shard back out — the kernels stop scaling exactly where
+the FLOPs are.  Wrapping the WHOLE step in `shard_map` over the 'data' axis
+runs every op — Pallas included — on the local batch shard, with one
+explicit `pmean` where DataParallel gathered+meaned losses
+(trainval_net_voc.py:391-395).
+
+RNG: each shard folds `axis_index('data')` into its step key so dropout
+masks and target-sampling decisions decorrelate across shards.  On a
+1-device mesh the fold is skipped, which makes the shard_map step BITWISE
+identical to the unsharded jit step — the property
+tools/tpu_kernel_check.py asserts on the real chip.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+# check_vma=False: the Pallas kernels' out_shapes carry no varying-mesh-axes
+# metadata (they are also called outside any mesh), which the jax>=0.9 vma
+# checker rejects; correctness is covered by the replication/bitwise tests
+# in tests/test_sharded_step.py.
+try:  # jax>=0.4.35 exports it at top level
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=False)
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map_legacy
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map_legacy(f, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_rep=False)
+
+from ait_tpu.train.state import TrainState, batch_tuple
+
+
+def make_sharded_train_step(model, tx: optax.GradientTransformation,
+                            mesh: Mesh, axis: str = "data") -> Callable:
+    """train_step(state, batch, rng) -> (state, metrics), shard_mapped.
+
+    state/rng replicated, batch sharded on dim 0 over `axis`; outputs
+    replicated.  Equivalent to jit(make_train_step(...)) on 1 device and to
+    DataParallel's replicate/scatter/gather semantics on n.
+    """
+    n_shards = int(mesh.shape[axis])
+
+    def local_step(state: TrainState, batch, rng):
+        if n_shards > 1:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        drop, samp = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        def loss_fn(params):
+            out = model.apply({"params": params}, *batch_tuple(batch),
+                              train=True,
+                              rngs={"dropout": drop, "sampling": samp})
+            return out.total_loss, out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        if n_shards > 1:
+            # DataParallel's gather + .mean() (trainval_net_voc.py:391-395)
+            grads = jax.lax.pmean(grads, axis)
+            loss = jax.lax.pmean(loss, axis)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        fg_cnt = jnp.sum(out.rois_label != 0)
+        bg_cnt = out.rois_label.size - fg_cnt
+
+        def _mean(x):
+            return jax.lax.pmean(x, axis) if n_shards > 1 else x
+
+        def _sum(x):
+            return jax.lax.psum(x, axis) if n_shards > 1 else x
+
+        metrics = {
+            "loss": loss,
+            "rpn_cls": _mean(out.rpn_loss_cls),
+            "rpn_box": _mean(out.rpn_loss_box),
+            "rcnn_cls": _mean(out.rcnn_loss_cls),
+            "margin": _mean(out.margin_loss),
+            "rcnn_box": _mean(out.rcnn_loss_bbox),
+            "fg_cnt": _sum(fg_cnt),
+            "bg_cnt": _sum(bg_cnt),
+        }
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), metrics
+
+    return shard_map(local_step, mesh,
+                     in_specs=(P(), P(axis), P()),
+                     out_specs=(P(), P()))
+
+
+def make_sharded_eval_step(model, mesh: Mesh, axis: str = "data") -> Callable:
+    """eval_step(params, batch) -> outputs, batch-sharded over `axis`."""
+
+    def local_eval(params, batch):
+        out = model.apply({"params": params}, *batch_tuple(batch),
+                          train=False)
+        return {"rois": out.rois, "cls_prob": out.cls_prob,
+                "bbox_pred": out.bbox_pred}
+
+    return shard_map(local_eval, mesh,
+                     in_specs=(P(), P(axis)),
+                     out_specs=P(axis))

@@ -13,6 +13,7 @@ reference's forward-only number, so vs_baseline is conservative.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -20,6 +21,14 @@ import jax
 # hardware RNG for dropout/sampling keys: threefry mask generation
 # profiled at ~7 ms/train-step; rbg lowers to the TPU RngBitGenerator
 jax.config.update("jax_default_prng_impl", "rbg")
+
+# persistent compile cache: only steady-state step time is measured, so
+# caching is semantics-free and cuts repeat bench runs by minutes
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_CACHE_DIR", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE_PAIRS_PER_SEC_PER_CHIP = 8 / 1.088 / 4  # forward-only, see above
 

@@ -8,6 +8,7 @@ reference's `test_net_voc.py` flow end to end (random init; the AP value
 is irrelevant, the plumbing is what's under test).
 """
 
+import pytest
 import os
 import pickle
 import sys
@@ -18,6 +19,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tools"))
 
 from fixtures import make_voc_devkit
+
+pytestmark = pytest.mark.slow  # >30s: heavy compile / torch parity
 
 
 def test_test_net_cli(tmp_path):
@@ -30,7 +33,7 @@ def test_test_net_cli(tmp_path):
     argv = [
         "--dataset", "pascal_voc", "--net", "res50",
         "--data_dir", str(tmp_path), "--seen", "2", "--a", "2",
-        "--bs", "2", "--nw", "0", "--debug",
+        "--bs", "2", "--nw", "0", "--debug", "--write_results",
         "--output_dir", out_dir,
         "--save_dir", str(tmp_path / "models"),
         "--set",
@@ -52,3 +55,15 @@ def test_test_net_cli(tmp_path):
     with open(os.path.join(out_dir, sorted(pkls)[0]), "rb") as f:
         all_boxes = pickle.load(f)
     assert isinstance(all_boxes, dict) and len(all_boxes) > 0
+    # experiment.info comp-id + official devkit result files
+    # (pascal_voc.py:75-80,312-328)
+    info = os.path.join(out_dir, "experiment.info")
+    assert os.path.exists(info)
+    assert open(info).read().startswith("Session-")
+    main_dir = os.path.join(devkit, "results", "VOC2007", "Main")
+    assert os.path.isdir(main_dir)
+    res_files = os.listdir(main_dir)
+    assert res_files, "no devkit result files written"
+    for line in open(os.path.join(main_dir, sorted(res_files)[0])):
+        parts = line.split()
+        assert len(parts) == 6  # index score x1 y1 x2 y2

@@ -59,6 +59,7 @@ def test_checkpoint_roundtrip(tmp_path):
     mgr.close()
 
 
+@pytest.mark.slow
 def test_train_step_clean_under_debug_nans():
     """jax_debug_nans as the nan/race 'sanitizer' CI (SURVEY.md §5)."""
     import dataclasses

@@ -15,6 +15,8 @@ import pytest
 from ait_tpu.config import Config
 from ait_tpu.models import AITDetector
 
+pytestmark = pytest.mark.slow  # >30s: heavy compile / torch parity
+
 
 def tiny_cfg(**model_kw):
     cfg = Config()

@@ -17,6 +17,8 @@ from ait_tpu.convert import convert_detector  # noqa: E402
 from ait_tpu.models import AITDetector  # noqa: E402
 from ait_tpu.train import init_params  # noqa: E402
 
+pytestmark = pytest.mark.slow  # >30s: heavy compile / torch parity
+
 
 def flatten(tree, prefix=()):
     out = {}

@@ -1,11 +1,14 @@
 """OneShotPredictor API smoke (tiny config, CPU)."""
 
+import pytest
 import dataclasses
 
 import numpy as np
 
 from ait_tpu.config import Config
 from ait_tpu.predict import OneShotPredictor, _config_from_json
+
+pytestmark = pytest.mark.slow  # >30s: heavy compile / torch parity
 
 
 def test_predict_smoke():

@@ -26,6 +26,8 @@ from ait_tpu.models.coattention import (MHACoAttention,  # noqa: E402
 from ait_tpu.models.resnet import ResNetBackbone, ResNetTop  # noqa: E402
 from ait_tpu.models.sknet import SKNet  # noqa: E402
 
+pytestmark = pytest.mark.slow  # >30s: heavy compile / torch parity
+
 ATOL = 2e-4
 
 

@@ -2,6 +2,7 @@
 reference never had (its only parallelism was nn.DataParallel,
 trainval_net_voc.py:321-326)."""
 
+import pytest
 import dataclasses
 
 import jax
@@ -13,6 +14,8 @@ from ait_tpu.models import AITDetector
 from ait_tpu.parallel import make_mesh, replicate, shard_batch
 from ait_tpu.train import (TrainState, init_params, lr_schedule,
                            make_optimizer, make_param_labels, make_train_step)
+
+pytestmark = pytest.mark.slow  # >30s: heavy compile / torch parity
 
 
 def tiny_cfg():

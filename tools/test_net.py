@@ -77,6 +77,11 @@ def parse_args(argv=None):
     p.add_argument("--vis", dest="visualization", action="store_true",
                    help="write detection overlays to ./test_img "
                         "(reference test_net_voc.py:475-489)")
+    p.add_argument("--write_results", action="store_true",
+                   help="VOC only: also write official devkit result files "
+                        "(pascal_voc.py:312-328) under "
+                        "<data_dir>/VOCdevkit2007/results, tagged by the "
+                        "experiment.info comp-id")
     p.add_argument("--set", dest="set_cfgs", nargs="*", default=[])
     return p.parse_args(argv)
 
@@ -177,6 +182,7 @@ def main(argv=None):
     params = init_params(model, cfg, jax.random.PRNGKey(cfg.RNG_SEED))
     ckpt_dir = args.checkpoint_path or os.path.join(
         args.save_dir, args.net, args.dataset, args.version, "ckpt")
+    ckpt_step = 0
     if os.path.isdir(ckpt_dir):
         from ait_tpu.train import TrainState, lr_schedule, make_optimizer
         tx = make_optimizer(cfg, lr_schedule(0.01, 100, 4, 0.1))
@@ -185,8 +191,8 @@ def main(argv=None):
         restored = mgr.restore(template)
         if restored is not None:
             params = restored.params
-            printer(f"Loaded checkpoint step {mgr.latest_step()} from ",
-                    ckpt_dir)
+            ckpt_step = mgr.latest_step()
+            printer(f"Loaded checkpoint step {ckpt_step} from ", ckpt_dir)
         else:
             printer("WARNING: no checkpoint found, evaluating random init",
                     c="yellow")
@@ -208,6 +214,13 @@ def main(argv=None):
 
     os.makedirs(args.output_dir, exist_ok=True)
     loader = OneShotLoader(view, cfg, training=False)
+
+    # run tag side-channel (reference writes it unconditionally at startup,
+    # test_net_voc.py:223-225; the VOC writer reads it back as comp-id)
+    from ait_tpu.evaluation import comp_id_tag, write_experiment_info
+    comp_id = comp_id_tag(args.checksession, ckpt_step, args.version)
+    write_experiment_info(comp_id, os.path.join(args.output_dir,
+                                                "experiment.info"))
 
     results = []
     for avg in range(args.average):
@@ -240,6 +253,13 @@ def main(argv=None):
             stats = ev.summarize(class_index=class_index)
             results.append({"AP50": float(stats[1]), "AP": float(stats[0])})
         else:
+            if args.write_results:
+                from ait_tpu.evaluation import write_voc_results_files
+                paths = write_voc_results_files(
+                    all_boxes, view.records, view.classes,
+                    os.path.join(args.data_dir, "VOCdevkit2007"), "2007",
+                    "test", f"{comp_id}_{avg}")
+                printer(f"Wrote {len(paths)} devkit result files")
             res = evaluate_voc(
                 all_boxes, view.records, view.allowed_classes,
                 voc_data.class_order(args.seen))

@@ -224,7 +224,15 @@ def main(argv=None):
             start_epoch = latest // steps_per_epoch + 1
             printer(f"Resumed from step {latest} -> epoch {start_epoch}")
 
-    step_fn = jax.jit(make_train_step(model, tx), donate_argnums=0)
+    if mesh.devices.size > 1:
+        # shard_map over the data axis: runs the Pallas kernels on the
+        # LOCAL batch shard (GSPMD would replicate+all-gather them,
+        # ait_tpu/parallel/sharded.py docstring)
+        from ait_tpu.parallel import make_sharded_train_step
+        step_fn = jax.jit(make_sharded_train_step(model, tx, mesh),
+                          donate_argnums=0)
+    else:
+        step_fn = jax.jit(make_train_step(model, tx), donate_argnums=0)
     rng = jax.random.PRNGKey(cfg.RNG_SEED + args.session)
 
     meters = {k: AverageMeter() for k in
