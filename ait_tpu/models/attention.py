@@ -31,7 +31,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ait_tpu.ops.pallas_attention import (fused_sh_attention,
-                                          fused_sh_attention_dropout)
+                                          fused_sh_attention_dropout,
+                                          fused_sh_attention_rngdrop)
 
 Dtype = Any
 
@@ -98,6 +99,9 @@ class MultiHeadAttention(nn.Module):
     # training-path fusion (fused forward + fused recompute-backward
     # kernels, dropout via keep-mask operands); escape hatch for ablation
     use_pallas_train: bool = True
+    # generate the dropout keep-masks inside the kernel (pltpu PRNG) instead
+    # of passing them as operands; saves mask RNG + ~450 MB/step HBM
+    in_kernel_dropout: bool = True
 
     @nn.compact
     def __call__(self, q, k, v, mask: Optional[jnp.ndarray] = None,
@@ -143,27 +147,51 @@ class MultiHeadAttention(nn.Module):
             from ait_tpu.ops.pallas_attention import _reference_impl
 
             if not deterministic and self.dropout > 0.0:
-                # dropout keep-masks generated outside, applied in-kernel
-                # (the custom VJP replays the same masks — exact gradient).
-                # Head-major FLAT layouts ([H, P*Tq, Tk] / [P*Tq, D]) so the
-                # kernel's pair packing is a row slice, never a concat.
                 keep = 1.0 - self.dropout
-                r1, r2 = jax.random.split(self.make_rng("dropout"))
+                r0, r1, r2 = jax.random.split(self.make_rng("dropout"), 3)
+                # bernoulli keep-masks for the non-TPU (jnp reference)
+                # branch; on TPU the untaken branch and these mask ops are
+                # DCE'd (platform_dependent resolves at lowering)
                 attn_keep = jax.random.bernoulli(
                     r1, keep, (self.n_head, b * lq, lk)).astype(dt)
                 out_keep = jax.random.bernoulli(
                     r2, keep, (b * lq, self.d_model)).astype(dt)
-                args = args + (attn_keep, out_keep)
+                if self.in_kernel_dropout:
+                    # in-kernel pltpu PRNG: no mask generation or HBM
+                    # traffic on TPU; noise differs bit-for-bit from the
+                    # bernoulli path but is the same Bernoulli(keep)
+                    # inverted dropout (ops/pallas_attention docstring)
+                    seed = jax.random.randint(
+                        r0, (2,), -2 ** 31, 2 ** 31 - 1, jnp.int32)
+                    args = args + (seed, attn_keep, out_keep)
 
-                def kernel_branch(*a):
-                    return fused_sh_attention_dropout(
-                        *a, self.n_head, self.d_k, self.d_v, self.dist,
-                        keep)
+                    def kernel_branch(*a):
+                        return fused_sh_attention_rngdrop(
+                            *a[:11], a[11], self.n_head, self.d_k,
+                            self.d_v, self.dist, keep)
 
-                def ref_branch(*a):
-                    return _reference_impl(*a, n_head=self.n_head,
-                                           d_k=self.d_k, d_v=self.d_v,
-                                           dist=self.dist, keep_prob=keep)
+                    def ref_branch(*a):
+                        return _reference_impl(
+                            *a[:11], a[12], a[13], n_head=self.n_head,
+                            d_k=self.d_k, d_v=self.d_v, dist=self.dist,
+                            keep_prob=keep)
+                else:
+                    # operand keep-masks applied in-kernel (the custom VJP
+                    # replays the same masks — exact gradient).  Head-major
+                    # FLAT layouts ([H, P*Tq, Tk] / [P*Tq, D]) so the
+                    # kernel's pair packing is a row slice, never a concat.
+                    args = args + (attn_keep, out_keep)
+
+                    def kernel_branch(*a):
+                        return fused_sh_attention_dropout(
+                            *a, self.n_head, self.d_k, self.d_v, self.dist,
+                            keep)
+
+                    def ref_branch(*a):
+                        return _reference_impl(*a, n_head=self.n_head,
+                                               d_k=self.d_k, d_v=self.d_v,
+                                               dist=self.dist,
+                                               keep_prob=keep)
             else:
                 def kernel_branch(*a):
                     return fused_sh_attention(*a, self.n_head, self.d_k,

@@ -109,9 +109,57 @@ def _pair_group(p):
     return 2 if p % 2 == 0 else 1
 
 
+def _rng_interpret(interpret):
+    """Plain interpret mode has no CPU lowering for the pltpu prng
+    primitives; the TPU-semantics interpreter does (bits are a zeros stub —
+    see fused_sh_attention_rngdrop docstring)."""
+    return pltpu.InterpretParams() if interpret is True else interpret
+
+
+def _keep_thresh(keep_prob):
+    """uint32 threshold: P(bits < t) == keep_prob."""
+    return jnp.uint32(min(2 ** 32 - 1, int(round(keep_prob * 2 ** 32))))
+
+
+_ATTN_TAG, _OUT_TAG = 1, 2
+
+
+def _seed2(seed_ref, tag, h, pair):
+    """Fold (tag, head, absolute pair) into the second seed word — hardware
+    Mosaic supports at most 2 prng_seed values.  code = (tag*8+h) << 24 |
+    pair is unique for pair < 2^24 (tag<=2, h<8), so every (stream, pair)
+    gets a distinct seed for a fixed user seed."""
+    code = (tag * 8 + h) * (1 << 24) + pair
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ code)
+
+
+def _gen_attn_rows(seed_ref, h, abs_pair0, g, tq, tk, thresh, dtype):
+    """In-kernel PRNG keep-mask rows [g*Tq, Tk] for g consecutive pairs.
+
+    Seeded per (head, ABSOLUTE pair index), so the forward and backward
+    kernels regenerate bit-identical masks regardless of their (different)
+    pair-tile sizes."""
+    rows = []
+    for j in range(g):
+        _seed2(seed_ref, _ATTN_TAG, h, abs_pair0 + j)
+        bits = pltpu.bitcast(pltpu.prng_random_bits((tq, tk)), jnp.uint32)
+        rows.append((bits < thresh).astype(dtype))
+    return jnp.concatenate(rows, axis=0) if g > 1 else rows[0]
+
+
+def _gen_out_rows(seed_ref, abs_pair0, p, tq, d, thresh, dtype):
+    """In-kernel PRNG keep-mask [p*Tq, D] for p consecutive pairs."""
+    rows = []
+    for j in range(p):
+        _seed2(seed_ref, _OUT_TAG, 0, abs_pair0 + j)
+        bits = pltpu.bitcast(pltpu.prng_random_bits((tq, d)), jnp.uint32)
+        rows.append((bits < thresh).astype(dtype))
+    return jnp.concatenate(rows, axis=0) if p > 1 else rows[0]
+
+
 def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
             fcw_ref, lns_ref, lnb_ref, mask_ref, *rest, n_head, d_k,
-            d_v, dist, keep_prob, save_oh=False):
+            d_v, dist, keep_prob, save_oh=False, rng_drop=False):
     """Mosaic constraints shape this kernel: the lane (minor) dimension can
     never be split by a reshape, so weights arrive per-head ([H, D, d]) and
     heads/pairs are static python loops over 2-D MXU matmuls; pairs are
@@ -120,16 +168,21 @@ def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
 
     With dropout, `rest` starts with (attn_keep_ref, out_keep_ref); the
     keep-masks ride the same pair-batch grid as the activations.  With
+    rng_drop, `rest` starts with an SMEM seed_ref instead and the keep-masks
+    are generated IN-KERNEL with the per-(head, absolute-pair) seeding of
+    _gen_attn_rows/_gen_out_rows — no mask HBM traffic at all.  With
     save_oh, the per-head attention outputs are written as a second output
     ([H, P*Tq, dv] f32) so the backward kernel skips its first recompute
     pass with BITWISE-identical gradients (everything downstream of oh in
     the forward is derived from these f32 values)."""
     rest = list(rest)
     ohall_ref = rest.pop() if save_oh else None
-    if len(rest) == 3:
+    ak_ref = ok_ref = seed_ref = None
+    if rng_drop:
+        seed_ref, out_ref = rest
+    elif len(rest) == 3:
         ak_ref, ok_ref, out_ref = rest
     else:
-        ak_ref, ok_ref = None, None
         (out_ref,) = rest
     xq = xq_ref[:]
     xkv = xkv_ref[:]
@@ -142,6 +195,8 @@ def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
     maskg = _pack_mask(mask_ref[:], g, tq, tk)
     scale = 1.0 / (d_k ** 0.5)
     inv_keep = 1.0 / keep_prob
+    thresh = _keep_thresh(keep_prob) if rng_drop else None
+    pair0 = pl.program_id(0) * p if rng_drop else None
 
     o_heads = []                                    # per head: [P, Tq, dv]
     u = jnp.zeros((p, tq, d_v), jnp.float32)
@@ -164,7 +219,12 @@ def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
                 attn = jax.nn.softmax(attn, axis=-1)
             else:
                 attn = jnp.where(maskg, attn / tk, 0.0)
-            if ak_ref is not None:
+            if rng_drop:
+                rows = _gen_attn_rows(seed_ref, h, pair0 + base, g, tq, tk,
+                                      thresh, attn.dtype)
+                akg = jnp.tile(rows, (1, g)) if g > 1 else rows
+                attn = attn * akg * inv_keep
+            elif ak_ref is not None:
                 # head-major flat keep-mask: pack = row slice + lane tile
                 # (off-block attention is exactly 0 — see _pack_mask)
                 rows = _flat_slice(ak_ref[h], base, g, tq).astype(attn.dtype)
@@ -201,7 +261,10 @@ def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
     # output projection + dropout + residual + LN, all FLAT [P*Tq, D]
     y = jnp.dot(o.reshape(p * tq, d_v).astype(xq.dtype), fcw_ref[:],
                 preferred_element_type=jnp.float32)
-    if ok_ref is not None:
+    if rng_drop:
+        okf = _gen_out_rows(seed_ref, pair0, p, tq, d, thresh, y.dtype)
+        y = y * okf * inv_keep
+    elif ok_ref is not None:
         y = y * ok_ref[:].astype(y.dtype) * inv_keep
     y = y + xq2.astype(jnp.float32)
     mu = jnp.mean(y, axis=-1, keepdims=True)
@@ -213,7 +276,8 @@ def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
 
 def _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
                 attn_keep=None, out_keep=None, *, n_head, d_k, d_v, dist,
-                keep_prob, pair_tile, interpret, save_oh=False):
+                keep_prob, pair_tile, interpret, save_oh=False,
+                rng_seed=None):
     p, tq, d = x_q.shape
     tk = x_kv.shape[1]
     pt = min(pair_tile, p)
@@ -243,7 +307,11 @@ def _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
         full(ln_s.shape), full(ln_b.shape), full(mask.shape),
     ]
     operands = [x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask]
-    if attn_keep is not None:
+    if rng_seed is not None:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        operands += [rng_seed]
+        interpret = _rng_interpret(interpret)
+    elif attn_keep is not None:
         # head-major flat layouts ([H, P*Tq, Tk] / [P*Tq, D]): in-kernel
         # pair packing is then a static row slice, never a concat
         in_specs += [
@@ -255,7 +323,8 @@ def _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
         operands += [attn_keep, out_keep]
 
     kern = functools.partial(_kernel, n_head=n_head, d_k=d_k, d_v=d_v,
-                             dist=dist, keep_prob=keep_prob, save_oh=save_oh)
+                             dist=dist, keep_prob=keep_prob, save_oh=save_oh,
+                             rng_drop=rng_seed is not None)
     out_specs = pl.BlockSpec((pt, tq, d), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((p, tq, d), x_q.dtype)
@@ -280,14 +349,23 @@ def _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
 
 def _bwd_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
                 fcw_ref, lns_ref, lnb_ref, mask_ref, *rest, n_head, d_k,
-                d_v, keep_prob):
+                d_v, keep_prob, rng_drop=False):
     """Fused backward: reads the forward's saved per-head attention outputs
     (oh, f32 — gate/fc/LN recompute from them is bitwise what the forward
     computed), recomputes only the attention probabilities for the softmax
     backward, and produces every cotangent in one kernel.  Weight grads
     accumulate in VMEM-resident f32 output blocks across the sequential
-    pair-batch grid (init at program_id 0)."""
-    if len(rest) == 14:
+    pair-batch grid (init at program_id 0).
+
+    With rng_drop the dropout keep-masks are REGENERATED in-kernel from the
+    SMEM seed with the same per-(head, absolute-pair) seeding as the
+    forward, so gradients see bit-identical masks at any pair tile."""
+    seed_ref = None
+    if rng_drop:
+        (seed_ref, oh_ref, g_ref, dxq_ref, dxkv_ref, dwq_ref, dwk_ref,
+         dwv_ref, dskw_ref, dskb_ref, dfcw_ref, dlns_ref, dlnb_ref) = rest
+        ak_ref = ok_ref = None
+    elif len(rest) == 14:
         (ak_ref, ok_ref, oh_ref, g_ref, dxq_ref, dxkv_ref, dwq_ref,
          dwk_ref, dwv_ref, dskw_ref, dskb_ref, dfcw_ref, dlns_ref,
          dlnb_ref) = rest
@@ -312,11 +390,17 @@ def _bwd_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
     maskg = _pack_mask(mask_ref[:], gp, tq, tk)
     scale = 1.0 / (d_k ** 0.5)
     inv_keep = 1.0 / keep_prob
+    thresh = _keep_thresh(keep_prob) if rng_drop else None
+    pair0 = pl.program_id(0) * p if rng_drop else None
 
     def group_ak(h, base):
         # [g*Tq, Tk] rows of the head-major flat keep-mask, lane-tiled to
         # [g*Tq, g*Tk]: off-block attention is exactly 0, so the replicated
         # off-block mask values multiply nothing
+        if rng_drop:
+            rows = _gen_attn_rows(seed_ref, h, pair0 + base, gp, tq, tk,
+                                  thresh, jnp.float32)
+            return jnp.tile(rows, (1, gp)) if gp > 1 else rows
         if ak_ref is None:
             return None
         rows = _flat_slice(ak_ref[h], base, gp, tq).astype(jnp.float32)
@@ -357,7 +441,10 @@ def _bwd_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
     # flat; 3-D<->flat reshapes in Mosaic are not free)
     y0 = jnp.dot(o_cast, fcw_ref[:],
                  preferred_element_type=jnp.float32)
-    if ok_ref is not None:
+    if rng_drop:
+        okf = _gen_out_rows(seed_ref, pair0, p, tq, d, thresh, jnp.float32)
+        yd = y0 * okf * inv_keep
+    elif ok_ref is not None:
         okf = ok_ref[:].astype(jnp.float32)
         yd = y0 * okf * inv_keep
     else:
@@ -377,7 +464,8 @@ def _bwd_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
               xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True))
 
     dxq_acc = dy                                     # residual branch (flat)
-    dy0_flat = dy * okf * inv_keep if ok_ref is not None else dy
+    dy0_flat = (dy * okf * inv_keep
+                if (ok_ref is not None or rng_drop) else dy)
 
     dfcw_ref[:] = dfcw_ref[:] + jnp.dot(
         o_cast.astype(jnp.float32).T, dy0_flat,
@@ -465,7 +553,7 @@ def _bwd_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
 
 def _fused_bwd_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
                     mask, attn_keep, out_keep, oh_all, g, *, n_head, d_k,
-                    d_v, keep_prob, pair_tile, interpret):
+                    d_v, keep_prob, pair_tile, interpret, rng_seed=None):
     """Run the fused backward kernel; returns cotangents for the 10 array
     inputs in the ORIGINAL (pre-per-head-reshape) weight layouts.
 
@@ -501,7 +589,11 @@ def _fused_bwd_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
                 full(ln_s.shape), full(ln_b.shape), full(mask.shape)]
     operands = [x_q, x_kv, wqh, wkh, wvh, skwh, skbh, fc_w, ln_s, ln_b,
                 mask]
-    if attn_keep is not None:
+    if rng_seed is not None:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        operands += [rng_seed]
+        interpret = _rng_interpret(interpret)
+    elif attn_keep is not None:
         in_specs += [pl.BlockSpec((n_head, pt * tq, tk),
                                   lambda i: (0, i, 0),
                                   memory_space=pltpu.VMEM),
@@ -535,7 +627,8 @@ def _fused_bwd_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
                  full((d,)), full((d,))]
 
     kern = functools.partial(_bwd_kernel, n_head=n_head, d_k=d_k, d_v=d_v,
-                             keep_prob=keep_prob)
+                             keep_prob=keep_prob,
+                             rng_drop=rng_seed is not None)
     (dxq, dxkv, dwq, dwk, dwv, dskw, dskb, dfcw, dlns,
      dlnb) = pl.pallas_call(
         kern, grid=grid, in_specs=in_specs, out_specs=out_specs,
@@ -678,3 +771,94 @@ def _bwd_drop(n_head, d_k, d_v, dist, keep_prob, pair_tile, interpret,
 
 
 fused_sh_attention_dropout.defvjp(_fwd_drop, _bwd_drop)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(12, 13, 14, 15, 16, 17, 18))
+def fused_sh_attention_rngdrop(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w,
+                               ln_s, ln_b, mask, seed, n_head=8, d_k=64,
+                               d_v=64, dist="softmax", keep_prob=0.9,
+                               pair_tile=8, interpret=False):
+    """Training-path variant with IN-KERNEL PRNG dropout.
+
+    seed: [2] int32.  Keep-masks are generated inside the kernel with
+    pltpu.prng seeded per (head, absolute pair index), so the fused backward
+    regenerates bit-identical masks with zero mask HBM traffic (vs ~450
+    MB/step of keep-mask generation + read traffic for the operand-mask
+    variant at train shapes).  Dropout noise therefore differs from the
+    operand-mask/flax path bit-for-bit (but not in distribution); the two
+    paths are statistically equivalent Bernoulli(keep_prob) inverted
+    dropout.  NOTE interpret mode: prng_random_bits is a zeros stub on CPU,
+    which makes every mask all-keep — CPU tests cover plumbing and the
+    keep-all limit; real-bit parity is asserted on device by
+    tools/tpu_kernel_check.py via `dropout_keep_masks`.
+    """
+    return _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
+                       mask, n_head=n_head, d_k=d_k, d_v=d_v, dist=dist,
+                       keep_prob=keep_prob, pair_tile=pair_tile,
+                       interpret=interpret, rng_seed=seed)
+
+
+def _fwd_rng(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
+             seed, n_head, d_k, d_v, dist, keep_prob, pair_tile, interpret):
+    out, oh = _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s,
+                          ln_b, mask, n_head=n_head, d_k=d_k, d_v=d_v,
+                          dist=dist, keep_prob=keep_prob,
+                          pair_tile=pair_tile, interpret=interpret,
+                          save_oh=True, rng_seed=seed)
+    return out, (x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
+                 seed, oh)
+
+
+def _bwd_rng(n_head, d_k, d_v, dist, keep_prob, pair_tile, interpret,
+             res, g):
+    (x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask, seed,
+     oh) = res
+    grads = _fused_bwd_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s,
+                            ln_b, mask, None, None, oh, g, n_head=n_head,
+                            d_k=d_k, d_v=d_v, keep_prob=keep_prob,
+                            pair_tile=pair_tile, interpret=interpret,
+                            rng_seed=seed)
+    import numpy as np
+    return grads + (_mask_cotangent(mask),
+                    np.zeros(seed.shape, dtype=jax.dtypes.float0))
+
+
+fused_sh_attention_rngdrop.defvjp(_fwd_rng, _bwd_rng)
+
+
+def dropout_keep_masks(seed, p, tq, tk, d, *, n_head=8, keep_prob=0.9,
+                       interpret=False):
+    """Materialize the in-kernel PRNG keep-masks as arrays.
+
+    Returns (attn_keep [H, P*Tq, Tk], out_keep [P*Tq, D]) f32 in the
+    head-major flat layouts _reference_impl consumes — the device-side
+    cross-check: fused_sh_attention_rngdrop(seed) must equal
+    _reference_impl(..., *dropout_keep_masks(seed)).  Grid = one pair per
+    step, seeded identically to _gen_attn_rows/_gen_out_rows, so the dump
+    is tiling-independent."""
+
+    def kern(seed_ref, ak_ref, ok_ref):
+        thresh = _keep_thresh(keep_prob)   # inside: no captured constants
+        i = pl.program_id(0)
+        for h in range(n_head):
+            _seed2(seed_ref, _ATTN_TAG, h, i)
+            bits = pltpu.bitcast(pltpu.prng_random_bits((tq, tk)),
+                                 jnp.uint32)
+            ak_ref[h] = (bits < thresh).astype(jnp.float32)
+        _seed2(seed_ref, _OUT_TAG, 0, i)
+        bits = pltpu.bitcast(pltpu.prng_random_bits((tq, d)), jnp.uint32)
+        ok_ref[:] = (bits < thresh).astype(jnp.float32)
+
+    return pl.pallas_call(
+        kern,
+        grid=(p,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[pl.BlockSpec((n_head, tq, tk), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((tq, d), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((n_head, p * tq, tk), jnp.float32),
+                   jax.ShapeDtypeStruct((p * tq, d), jnp.float32)],
+        interpret=_rng_interpret(interpret),
+    )(seed)

@@ -212,8 +212,75 @@ def sharded_step_n1():
     check("shard_map(n=1) step == jit step (params bitwise)", params_eq)
 
 
+def rng_dropout_parity():
+    """In-kernel PRNG dropout: fused fwd/bwd vs the jnp reference fed the
+    DUMPED masks (dropout_keep_masks uses the same per-(head, pair)
+    seeding), plus mask statistics.  Real bits only exist on hardware —
+    interpret mode stubs prng_random_bits to zeros."""
+    from ait_tpu.ops.pallas_attention import (_reference_impl,
+                                              dropout_keep_masks,
+                                              fused_sh_attention_rngdrop)
+
+    rng = np.random.RandomState(4)
+    p, tq, tk, d, h, dk = 32, 64, 64, 512, 8, 64
+    keep = 0.9
+
+    def arr(*shape, scale=1.0):
+        return jnp.asarray(rng.randn(*shape) * scale, jnp.float32)
+
+    args = [arr(p, tq, d), arr(p, tk, d),
+            arr(d, h * dk, scale=0.02), arr(d, h * dk, scale=0.02),
+            arr(d, h * dk, scale=0.02), arr(dk, h * dk, scale=0.02),
+            arr(h * dk, scale=0.02), arr(dk, d, scale=0.02),
+            jnp.asarray(1.0 + 0.1 * rng.randn(d), jnp.float32),
+            jnp.asarray(0.1 * rng.randn(d), jnp.float32)]
+    mask = jnp.broadcast_to((jnp.arange(tk) < 49)[None], (tq, tk))
+    seed = jnp.asarray([20260817, -12345], jnp.int32)
+
+    ak, ok = jax.jit(lambda s: dropout_keep_masks(
+        s, p, tq, tk, d, n_head=h, keep_prob=keep))(seed)
+    akm, okm = float(np.asarray(ak).mean()), float(np.asarray(ok).mean())
+    check("rng-dropout mask stats ~ keep_prob",
+          abs(akm - keep) < 0.01 and abs(okm - keep) < 0.01,
+          f"attn {akm:.4f} out {okm:.4f}")
+    ak2, _ = jax.jit(lambda s: dropout_keep_masks(
+        s, p, tq, tk, d, n_head=h, keep_prob=keep))(seed)
+    check("rng-dropout masks deterministic",
+          np.array_equal(np.asarray(ak), np.asarray(ak2)))
+
+    got = np.asarray(jax.jit(lambda *a: fused_sh_attention_rngdrop(
+        *a, mask, seed, h, dk, dk, "softmax", keep))(*args))
+    ref = np.asarray(jax.jit(lambda *a: _reference_impl(
+        *a, mask, ak, ok, n_head=h, d_k=dk, d_v=dk, dist="softmax",
+        keep_prob=keep))(*args))
+    err = np.abs(got - ref).max()
+    check("rng-dropout fwd == ref(dumped masks)", err < 2e-3,
+          f"max abs err {err:.2e}")
+
+    def via_kernel(*a):
+        return (fused_sh_attention_rngdrop(
+            *a, mask, seed, h, dk, dk, "softmax", keep) ** 2).sum()
+
+    def via_ref(*a):
+        return (_reference_impl(*a, mask, ak, ok, n_head=h, d_k=dk, d_v=dk,
+                                dist="softmax", keep_prob=keep) ** 2).sum()
+
+    g1 = jax.jit(jax.grad(via_kernel, argnums=tuple(range(10))))(*args)
+    g2 = jax.jit(jax.grad(via_ref, argnums=tuple(range(10))))(*args)
+    names = ["xq", "xkv", "wq", "wk", "wv", "skw", "skb", "fcw", "lns",
+             "lnb"]
+    worst = 0.0
+    for nme, a, b in zip(names, g1, g2):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-6)
+        worst = max(worst, float(np.abs(a - b).max() / scale))
+    check("rng-dropout bwd == ref-grad(dumped masks)", worst < 5e-3,
+          f"worst rel err {worst:.2e}")
+
+
 CHECKS = {"nms": nms_parity, "aligned_k": aligned_k,
-          "attention": attention_parity, "sharded": sharded_step_n1}
+          "attention": attention_parity, "rng_dropout": rng_dropout_parity,
+          "sharded": sharded_step_n1}
 
 
 def main(argv=None):
