@@ -49,6 +49,7 @@ class EncoderLayer(nn.Module):
                 x, x, x, mask, deterministic=deterministic)
         return PositionwiseFeedForward(
             self.d_model, self.d_inner, self.dropout, self.dtype,
+            use_pallas=self.use_pallas,
             name="pos_ffn")(x, deterministic=deterministic)
 
 
@@ -85,6 +86,7 @@ class DecoderLayer(nn.Module):
                 x, enc_out, enc_out, cross_mask, deterministic=deterministic)
         return PositionwiseFeedForward(
             self.d_model, self.d_inner, self.dropout, self.dtype,
+            use_pallas=self.use_pallas,
             name="pos_ffn")(x, deterministic=deterministic)
 
 

@@ -249,16 +249,67 @@ class MultiHeadAttention(nn.Module):
 
 
 class PositionwiseFeedForward(nn.Module):
-    """Post-LN FFN (SubLayers.py:167-187)."""
+    """Post-LN FFN (SubLayers.py:167-187).
+
+    On TPU the whole block (w1/relu/w2/dropout/residual/LN) dispatches to
+    one fused Mosaic kernel with a fused recompute backward
+    (ops/pallas_ffn.py); dropout is in-kernel pltpu PRNG.  Elsewhere the
+    flax composition below is the reference math.
+    """
 
     d_in: int
     d_hid: int
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
     kernel_init: Any = xavier_uniform()
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
+        if self.use_pallas:
+            from ait_tpu.ops.pallas_ffn import (ffn_reference, fused_ffn)
+
+            w1 = _P((("kernel", (x.shape[-1], self.d_hid),
+                      self.kernel_init),
+                     ("bias", (self.d_hid,), nn.initializers.zeros)),
+                    name="w_1")()
+            w2 = _P((("kernel", (self.d_hid, self.d_in), self.kernel_init),
+                     ("bias", (self.d_in,), nn.initializers.zeros)),
+                    name="w_2")()
+            ln = _P((("scale", (self.d_in,), nn.initializers.ones),
+                     ("bias", (self.d_in,), nn.initializers.zeros)),
+                    name="LayerNorm_0")()
+            shape = x.shape
+            dt = self.dtype
+            flat = x.reshape(-1, shape[-1]).astype(dt)
+            train_drop = (not deterministic) and self.dropout > 0.0
+            keep_prob = 1.0 - self.dropout if train_drop else 1.0
+            if train_drop:
+                r0, r1 = jax.random.split(self.make_rng("dropout"))
+                seed = jax.random.randint(r0, (2,), -2 ** 31, 2 ** 31 - 1,
+                                          jnp.int32)
+                # bernoulli mask for the non-TPU reference branch only
+                # (DCE'd on TPU)
+                keep = jax.random.bernoulli(
+                    r1, keep_prob, flat.shape).astype(jnp.float32)
+            else:
+                seed = jnp.zeros((2,), jnp.int32)
+                keep = None
+            args = (flat, w1["kernel"].astype(dt), w1["bias"],
+                    w2["kernel"].astype(dt), w2["bias"],
+                    ln["scale"], ln["bias"])
+
+            def kernel_branch():
+                return fused_ffn(*args, seed, keep_prob)
+
+            def ref_branch():
+                return ffn_reference(*args, keep=keep,
+                                     keep_prob=keep_prob)
+
+            out = jax.lax.platform_dependent(tpu=kernel_branch,
+                                             default=ref_branch)
+            return out.reshape(shape)
+
         residual = x
         y = nn.Dense(self.d_hid, dtype=self.dtype,
                      kernel_init=self.kernel_init, name="w_1")(x)

@@ -278,9 +278,64 @@ def rng_dropout_parity():
           f"worst rel err {worst:.2e}")
 
 
+def ffn_parity():
+    """Fused FFN kernel (w1/relu/w2/dropout/residual/LN): eval fwd, train
+    fwd/bwd vs the jnp reference fed the dumped in-kernel PRNG mask."""
+    from ait_tpu.ops.pallas_ffn import (ffn_keep_mask, ffn_reference,
+                                        fused_ffn)
+
+    rng = np.random.RandomState(5)
+    n, d, dh = 4096, 512, 2048
+    x = jnp.asarray(rng.randn(n, d), jnp.float32)
+    w1 = jnp.asarray(rng.randn(d, dh) * 0.02, jnp.float32)
+    b1 = jnp.asarray(rng.randn(dh) * 0.02, jnp.float32)
+    w2 = jnp.asarray(rng.randn(dh, d) * 0.02, jnp.float32)
+    b2 = jnp.asarray(rng.randn(d) * 0.02, jnp.float32)
+    lns = jnp.asarray(1.0 + 0.1 * rng.randn(d), jnp.float32)
+    lnb = jnp.asarray(0.1 * rng.randn(d), jnp.float32)
+    seed = jnp.asarray([77, -88], jnp.int32)
+    keep = 0.9
+
+    ref = np.asarray(jax.jit(ffn_reference)(x, w1, b1, w2, b2, lns, lnb))
+    got = np.asarray(jax.jit(lambda *a: fused_ffn(*a, seed, 1.0))(
+        x, w1, b1, w2, b2, lns, lnb))
+    err = np.abs(got - ref).max()
+    check("ffn eval fwd pallas~=ref", err < 2e-3, f"max abs err {err:.2e}")
+
+    km = jax.jit(lambda s: ffn_keep_mask(s, n, d, keep_prob=keep))(seed)
+    kmean = float(np.asarray(km).mean())
+    check("ffn mask stats ~ keep_prob", abs(kmean - keep) < 0.01,
+          f"{kmean:.4f}")
+    reft = np.asarray(jax.jit(lambda *a: ffn_reference(
+        *a, keep=km, keep_prob=keep))(x, w1, b1, w2, b2, lns, lnb))
+    gott = np.asarray(jax.jit(lambda *a: fused_ffn(*a, seed, keep))(
+        x, w1, b1, w2, b2, lns, lnb))
+    err = np.abs(gott - reft).max()
+    check("ffn train fwd == ref(dumped mask)", err < 2e-3,
+          f"max abs err {err:.2e}")
+
+    def via_kernel(*a):
+        return (fused_ffn(*a, seed, keep) ** 2).sum()
+
+    def via_ref(*a):
+        return (ffn_reference(*a, keep=km, keep_prob=keep) ** 2).sum()
+
+    g1 = jax.jit(jax.grad(via_kernel, argnums=tuple(range(7))))(
+        x, w1, b1, w2, b2, lns, lnb)
+    g2 = jax.jit(jax.grad(via_ref, argnums=tuple(range(7))))(
+        x, w1, b1, w2, b2, lns, lnb)
+    worst = 0.0
+    for a, b in zip(g1, g2):
+        a, b = np.asarray(a), np.asarray(b)
+        worst = max(worst, float(np.abs(a - b).max() /
+                                 max(np.abs(b).max(), 1e-6)))
+    check("ffn train bwd == ref-grad(dumped mask)", worst < 5e-3,
+          f"worst rel err {worst:.2e}")
+
+
 CHECKS = {"nms": nms_parity, "aligned_k": aligned_k,
           "attention": attention_parity, "rng_dropout": rng_dropout_parity,
-          "sharded": sharded_step_n1}
+          "ffn": ffn_parity, "sharded": sharded_step_n1}
 
 
 def main(argv=None):
