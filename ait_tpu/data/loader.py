@@ -256,11 +256,21 @@ class OneShotLoader:
         canvases, info = self._native_targets(recs, n_threads)
         queries = self._native_queries([m[1] for m in metas],
                                        [m[2] for m in metas], n_threads)
+        gt = np.stack([m[3] for m in metas])
+        # decoded-dims correction: _train_meta scaled gt with the
+        # annotation dims' scale; the native decoder reports the TRUE scale
+        # in info[:, 2], so on dim-mismatched files rescale to agree with
+        # the python path (which always uses decoded dims).  Padding rows
+        # are zeros and stay zeros.
+        assumed = np.array([self._scale_for(r) for r in recs], np.float32)
+        ratio = np.where(assumed > 0, info[:, 2] / assumed, 1.0)
+        if not np.all(ratio == 1.0):
+            gt[:, :, :4] *= ratio[:, None, None]
         return {
             "image": canvases,
             "query": queries,
             "im_info": info,
-            "gt_boxes": np.stack([m[3] for m in metas]),
+            "gt_boxes": gt,
             "num_boxes": np.array([m[4] for m in metas], np.int32),
         }
 

@@ -82,3 +82,21 @@ def test_unsupported_format_falls_back():
     bp = lp._collate([lp.train_item(0)])
     bn = ln._train_batch_native([0], 1)
     _compare(bp, bn)
+
+
+def test_dim_mismatched_record_agrees_with_python():
+    """Annotation dims != decoded dims: the python path scales gt by the
+    DECODED scale; the native path must rescale to match (round-1 weak #6
+    — it used to trust the annotation dims)."""
+    import dataclasses
+    lp, ln = _loaders(training=True)
+    for loader in (lp, ln):
+        rec = loader.view.records[0]
+        # lie about the stored dims: half the real size
+        loader.view.records[0] = dataclasses.replace(
+            rec, width=rec.width // 2, height=rec.height // 2)
+    bp = lp._collate([lp.train_item(0)])
+    bn = ln._train_batch_native([0], 1)
+    assert bp["num_boxes"][0] > 0
+    np.testing.assert_array_equal(bp["gt_boxes"], bn["gt_boxes"])
+    np.testing.assert_array_equal(bp["im_info"], bn["im_info"])
