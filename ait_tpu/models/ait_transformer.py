@@ -141,9 +141,50 @@ class AITTransformer(nn.Module):
 
         pos = sinusoid_table(self.n_position, d)[None].astype(src.dtype)
 
-        drop = nn.Dropout(self.dropout, deterministic=deterministic)
-        enc = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                           name="enc_in_ln")(drop(src + pos[:, :n_t]))
+        if self.use_pallas:
+            # fused pos-enc + dropout + input-LN glue (one Mosaic kernel
+            # fwd and bwd instead of several memory-bound passes); param
+            # paths unchanged (enc_in_ln/dec_in_ln scale+bias)
+            import jax
+
+            from ait_tpu.models.attention import _P
+            from ait_tpu.ops.pallas_ffn import fused_posln, posln_reference
+
+            def in_glue(x_seq, name):
+                ln = _P((("scale", (d,), nn.initializers.ones),
+                         ("bias", (d,), nn.initializers.zeros)),
+                        name=name)()
+                flat = x_seq.reshape(-1, d).astype(self.dtype)
+                posf = pos[0, :n_t].astype(self.dtype)
+                train_drop = (not deterministic) and self.dropout > 0.0
+                keep_prob = 1.0 - self.dropout if train_drop else 1.0
+                if train_drop:
+                    r0, r1 = jax.random.split(self.make_rng("dropout"))
+                    seed = jax.random.randint(r0, (2,), -2 ** 31,
+                                              2 ** 31 - 1, jnp.int32)
+                    keep = jax.random.bernoulli(
+                        r1, keep_prob, flat.shape).astype(jnp.float32)
+                else:
+                    seed = jnp.zeros((2,), jnp.int32)
+                    keep = None
+
+                def kernel_branch():
+                    return fused_posln(flat, posf, ln["scale"], ln["bias"],
+                                       seed, keep_prob)
+
+                def ref_branch():
+                    return posln_reference(flat, posf, ln["scale"],
+                                           ln["bias"], keep, keep_prob)
+
+                out = jax.lax.platform_dependent(tpu=kernel_branch,
+                                                 default=ref_branch)
+                return out.reshape(x_seq.shape)
+
+            enc = in_glue(src, "enc_in_ln")
+        else:
+            drop = nn.Dropout(self.dropout, deterministic=deterministic)
+            enc = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                               name="enc_in_ln")(drop(src + pos[:, :n_t]))
         for i in range(self.n_layers):
             enc = EncoderLayer(
                 self.d_model, self.d_inner, self.n_head, self.d_k, self.d_v,
@@ -151,8 +192,11 @@ class AITTransformer(nn.Module):
                 name=f"enc_layer{i}")(
                     enc, src_mask, deterministic=deterministic)
 
-        dec = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                           name="dec_in_ln")(drop(trg + pos[:, :n_t]))
+        if self.use_pallas:
+            dec = in_glue(trg, "dec_in_ln")
+        else:
+            dec = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                               name="dec_in_ln")(drop(trg + pos[:, :n_t]))
         for i in range(self.n_layers):
             dec = DecoderLayer(
                 self.d_model, self.d_inner, self.n_head, self.d_k, self.d_v,

@@ -252,15 +252,181 @@ def _ffn_bwd(keep_prob, interpret, res, g):
 fused_ffn.defvjp(_ffn_fwd, _ffn_bwd)
 
 
-def ffn_keep_mask(seed, n, d, *, keep_prob=0.9, interpret=False):
-    """Materialize the FFN dropout keep-mask [N, D] (device cross-checks);
-    uses the same per-row-tile seeding as the fused kernels."""
-    rt = _row_tile(n)
+_POSLN_TAG = 4
 
+
+def posln_reference(x, pos, ln_s, ln_b, keep=None, keep_prob=1.0):
+    """jnp math for LN(dropout(x + pos)) — the transformer's input glue
+    (Models.py:98-99,155-156: PositionalEncoding -> dropout -> layer_norm).
+
+    x: [N, D] flat pair-major rows; pos: [T, D] with N % T == 0 (row i gets
+    position i % T)."""
+    t = pos.shape[0]
+    n = x.shape[0]
+    y = x.astype(jnp.float32) + jnp.tile(pos.astype(jnp.float32),
+                                         (n // t, 1))
+    if keep is not None:
+        y = y * keep.astype(jnp.float32) * (1.0 / keep_prob)
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean((y - mu) ** 2, axis=-1, keepdims=True)
+    out = (y - mu) * jax.lax.rsqrt(var + _LN_EPS) * ln_s + ln_b
+    return out.astype(x.dtype)
+
+
+def _posln_fwd_kernel(x_ref, pos_ref, lns_ref, lnb_ref, *rest, keep_prob,
+                      rng_drop):
+    if rng_drop:
+        seed_ref, out_ref = rest
+    else:
+        seed_ref = None
+        (out_ref,) = rest
+    x = x_ref[:]
+    n, d = x.shape
+    t = pos_ref.shape[0]
+    y = x.astype(jnp.float32) + jnp.tile(pos_ref[:].astype(jnp.float32),
+                                         (n // t, 1))
+    if rng_drop:
+        thresh = _keep_thresh(keep_prob)
+        pltpu.prng_seed(seed_ref[0],
+                        seed_ref[1] ^ (_POSLN_TAG * (1 << 27)
+                                       + pl.program_id(0)))
+        bits = pltpu.bitcast(pltpu.prng_random_bits((n, d)), jnp.uint32)
+        y = y * (bits < thresh).astype(jnp.float32) * (1.0 / keep_prob)
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean((y - mu) ** 2, axis=-1, keepdims=True)
+    out = (y - mu) * jax.lax.rsqrt(var + _LN_EPS) * \
+        lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _posln_bwd_kernel(x_ref, pos_ref, lns_ref, lnb_ref, *rest, keep_prob,
+                      rng_drop):
+    if rng_drop:
+        seed_ref, g_ref, dx_ref, dlns_ref, dlnb_ref = rest
+    else:
+        seed_ref = None
+        g_ref, dx_ref, dlns_ref, dlnb_ref = rest
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dlns_ref[:] = jnp.zeros(dlns_ref.shape, dlns_ref.dtype)
+        dlnb_ref[:] = jnp.zeros(dlnb_ref.shape, dlnb_ref.dtype)
+
+    x = x_ref[:]
+    n, d = x.shape
+    t = pos_ref.shape[0]
+    inv_keep = 1.0 / keep_prob
+    y = x.astype(jnp.float32) + jnp.tile(pos_ref[:].astype(jnp.float32),
+                                         (n // t, 1))
+    if rng_drop:
+        thresh = _keep_thresh(keep_prob)
+        pltpu.prng_seed(seed_ref[0],
+                        seed_ref[1] ^ (_POSLN_TAG * (1 << 27)
+                                       + pl.program_id(0)))
+        bits = pltpu.bitcast(pltpu.prng_random_bits((n, d)), jnp.uint32)
+        keep = (bits < thresh).astype(jnp.float32)
+        y = y * keep * inv_keep
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean((y - mu) ** 2, axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(var + _LN_EPS)
+    xhat = (y - mu) * r
+
+    g = g_ref[:].astype(jnp.float32)
+    dlns_ref[:] = dlns_ref[:] + jnp.sum(g * xhat, axis=0)
+    dlnb_ref[:] = dlnb_ref[:] + jnp.sum(g, axis=0)
+    dxhat = g * lns_ref[:].astype(jnp.float32)
+    dy = r * (dxhat - jnp.mean(dxhat, axis=-1, keepdims=True) -
+              xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True))
+    if rng_drop:
+        dy = dy * keep * inv_keep
+    dx_ref[:] = dy.astype(dx_ref.dtype)
+
+
+def _posln_tile(n, t):
+    """Row tile: a multiple of the position period t dividing n."""
+    for rt in (1024, 512, 256, 128, 64):
+        if rt % t == 0 and n % rt == 0:
+            return rt
+    assert n % t == 0, (n, t)
+    return t
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_posln(x, pos, ln_s, ln_b, seed, keep_prob=1.0, interpret=False):
+    """LN(dropout(x + pos[i % T])) over flat rows; seed [2] int32.
+    Requires N % T == 0 (pair-major token rows)."""
+    rng_drop = keep_prob < 1.0
+    n, d = x.shape
+    t = pos.shape[0]
+    rt = _posln_tile(n, t)
+    extra_in = [seed] if rng_drop else []
+    extra_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] if rng_drop else []
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    row = pl.BlockSpec((rt, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_posln_fwd_kernel, keep_prob=keep_prob,
+                          rng_drop=rng_drop),
+        grid=(n // rt,),
+        in_specs=[row, full(pos.shape), full(ln_s.shape),
+                  full(ln_b.shape)] + extra_specs,
+        out_specs=row,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=_rng_interpret(interpret) if rng_drop else interpret,
+    )(x, pos, ln_s, ln_b, *extra_in)
+
+
+def _posln_vjp_fwd(x, pos, ln_s, ln_b, seed, keep_prob, interpret):
+    out = fused_posln(x, pos, ln_s, ln_b, seed, keep_prob, interpret)
+    return out, (x, pos, ln_s, ln_b, seed)
+
+
+def _posln_vjp_bwd(keep_prob, interpret, res, g):
+    x, pos, ln_s, ln_b, seed = res
+    n, d = x.shape
+    t = pos.shape[0]
+    rng_drop = keep_prob < 1.0
+    rt = _posln_tile(n, t)
+    extra_in = [seed] if rng_drop else []
+    extra_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] if rng_drop else []
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    row = pl.BlockSpec((rt, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    dx, dlns, dlnb = pl.pallas_call(
+        functools.partial(_posln_bwd_kernel, keep_prob=keep_prob,
+                          rng_drop=rng_drop),
+        grid=(n // rt,),
+        in_specs=[row, full(pos.shape), full(ln_s.shape),
+                  full(ln_b.shape)] + extra_specs + [row],
+        out_specs=[row, full((d,)), full((d,))],
+        out_shape=[jax.ShapeDtypeStruct((n, d), x.dtype),
+                   jax.ShapeDtypeStruct((d,), f32),
+                   jax.ShapeDtypeStruct((d,), f32)],
+        interpret=_rng_interpret(interpret) if rng_drop else interpret,
+    )(x, pos, ln_s, ln_b, *extra_in, g)
+    import numpy as np
+    return (dx, jnp.zeros_like(pos), dlns.astype(ln_s.dtype),
+            dlnb.astype(ln_b.dtype),
+            np.zeros(seed.shape, dtype=jax.dtypes.float0))
+
+
+fused_posln.defvjp(_posln_vjp_fwd, _posln_vjp_bwd)
+
+
+def _mask_dump(seed, n, d, rt, tag, keep_prob, interpret):
     def kern(seed_ref, out_ref):
         thresh = _keep_thresh(keep_prob)
-        out_ref[:] = _gen_keep(seed_ref, pl.program_id(0), (rt, d), thresh,
-                               jnp.float32)
+        pltpu.prng_seed(seed_ref[0],
+                        seed_ref[1] ^ (tag * (1 << 27) + pl.program_id(0)))
+        bits = pltpu.bitcast(pltpu.prng_random_bits((rt, d)), jnp.uint32)
+        out_ref[:] = (bits < thresh).astype(jnp.float32)
 
     return pl.pallas_call(
         kern,
@@ -271,3 +437,16 @@ def ffn_keep_mask(seed, n, d, *, keep_prob=0.9, interpret=False):
         out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
         interpret=_rng_interpret(interpret),
     )(seed)
+
+
+def ffn_keep_mask(seed, n, d, *, keep_prob=0.9, interpret=False):
+    """Materialize the FFN dropout keep-mask [N, D] (device cross-checks);
+    uses the same per-row-tile seeding as the fused kernels."""
+    return _mask_dump(seed, n, d, _row_tile(n), _FFN_TAG, keep_prob,
+                      interpret)
+
+
+def posln_keep_mask(seed, n, d, t=64, *, keep_prob=0.9, interpret=False):
+    """Keep-mask of the fused_posln input-glue dropout [N, D]."""
+    return _mask_dump(seed, n, d, _posln_tile(n, t), _POSLN_TAG, keep_prob,
+                      interpret)

@@ -1,0 +1,67 @@
+"""End-to-end CLI integration: tools/trainval_net.py on a synthetic VOC
+devkit (the reference's trainval_net_voc.py flow: cfg resolution, dataset
+load + flip augment, one-shot loader, jitted train step, checkpointing,
+metric JSONL, resume)."""
+
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+from fixtures import make_voc_devkit
+
+pytestmark = pytest.mark.slow
+
+
+def _argv(tmp_path, epochs=1, resume=False):
+    return [
+        "--dataset", "pascal_voc", "--net", "res50",
+        "--data_dir", str(tmp_path), "--seen", "1",
+        "--bs", "2", "--nw", "0", "--debug",
+        "--epochs", str(epochs),
+        "--r", "true" if resume else "false",
+        "--save_dir", str(tmp_path / "models"),
+        "--disp_interval", "1",
+        "--set",
+        "tpu.image_size", "(128, 160)",
+        "tpu.portrait_bucket", "False",
+        "TRAIN.SCALES", "(100,)",
+        "TRAIN.RPN_PRE_NMS_TOP_N", "256",
+        "TRAIN.RPN_POST_NMS_TOP_N", "32",
+        "TRAIN.RPN_BATCHSIZE", "32",
+        "TRAIN.BATCH_SIZE", "16",
+        "MAX_NUM_GT_BOXES", "8",
+    ]
+
+
+def test_trainval_cli_and_resume(tmp_path):
+    import trainval_net as cli
+
+    make_voc_devkit(str(tmp_path / "VOCdevkit2007"), image_set="trainval")
+    cli.main(_argv(tmp_path, epochs=1))
+
+    run_dir = os.path.join(str(tmp_path / "models"), "res50", "pascal_voc",
+                           "1.0.0")
+    # config snapshot (what test_net adopts) + metric JSONL + a checkpoint
+    cfg_json = os.path.join(run_dir, "config.json")
+    assert os.path.exists(cfg_json)
+    saved = json.load(open(cfg_json))
+    assert saved["model"]["coattention"] == "mha"
+    metrics = glob.glob(os.path.join(run_dir, "logs", "*.jsonl"))
+    assert metrics, os.listdir(run_dir)
+    rows = [json.loads(l) for l in open(metrics[0])]
+    assert rows and any("loss" in r for r in rows)
+    assert all(np.isfinite(r["loss"]) for r in rows if "loss" in r)
+    ckpts = os.listdir(os.path.join(run_dir, "ckpt"))
+    assert ckpts
+
+    # resume: epoch 2 picks up from the saved step without re-initializing
+    cli.main(_argv(tmp_path, epochs=2, resume=True))
+    ckpts2 = sorted(os.listdir(os.path.join(run_dir, "ckpt")))
+    assert len(ckpts2) >= len(ckpts)

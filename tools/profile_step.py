@@ -82,7 +82,8 @@ def main():
     else:
         tx = make_optimizer(cfg, lr_schedule(0.01, 100, 4, 0.1))
         state = TrainState.create(params, tx)
-        train = jax.jit(make_train_step(model, tx))
+        # donate like bench.py so the persistent-cache entry is shared
+        train = jax.jit(make_train_step(model, tx), donate_argnums=0)
         rng = jax.random.PRNGKey(0)
         holder = {"state": state}
 

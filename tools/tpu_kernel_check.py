@@ -333,9 +333,58 @@ def ffn_parity():
           f"worst rel err {worst:.2e}")
 
 
+def posln_parity():
+    """Fused pos-enc + dropout + input-LN glue kernel."""
+    from ait_tpu.ops.pallas_ffn import (fused_posln, posln_keep_mask,
+                                        posln_reference)
+
+    rng = np.random.RandomState(6)
+    n, d, t = 4096, 512, 64
+    x = jnp.asarray(rng.randn(n, d), jnp.float32)
+    pos = jnp.asarray(rng.randn(t, d), jnp.float32)
+    lns = jnp.asarray(1.0 + 0.1 * rng.randn(d), jnp.float32)
+    lnb = jnp.asarray(0.1 * rng.randn(d), jnp.float32)
+    seed = jnp.asarray([99, -101], jnp.int32)
+    keep = 0.9
+
+    ref = np.asarray(jax.jit(posln_reference)(x, pos, lns, lnb))
+    got = np.asarray(jax.jit(lambda *a: fused_posln(*a, seed, 1.0))(
+        x, pos, lns, lnb))
+    err = np.abs(got - ref).max()
+    check("posln eval fwd pallas~=ref", err < 2e-3, f"{err:.2e}")
+
+    km = jax.jit(lambda s: posln_keep_mask(s, n, d, t,
+                                           keep_prob=keep))(seed)
+    kmean = float(np.asarray(km).mean())
+    check("posln mask stats ~ keep_prob", abs(kmean - keep) < 0.01,
+          f"{kmean:.4f}")
+    reft = np.asarray(jax.jit(lambda *a: posln_reference(
+        *a, keep=km, keep_prob=keep))(x, pos, lns, lnb))
+    gott = np.asarray(jax.jit(lambda *a: fused_posln(*a, seed, keep))(
+        x, pos, lns, lnb))
+    err = np.abs(gott - reft).max()
+    check("posln train fwd == ref(dumped mask)", err < 2e-3, f"{err:.2e}")
+
+    def vk(x_, s_):
+        return (fused_posln(x_, pos, s_, lnb, seed, keep) ** 2).sum()
+
+    def vr(x_, s_):
+        return (posln_reference(x_, pos, s_, lnb, keep=km,
+                                keep_prob=keep) ** 2).sum()
+
+    g1 = jax.jit(jax.grad(vk, argnums=(0, 1)))(x, lns)
+    g2 = jax.jit(jax.grad(vr, argnums=(0, 1)))(x, lns)
+    worst = max(float(np.abs(np.asarray(a) - np.asarray(b)).max() /
+                      max(np.abs(np.asarray(b)).max(), 1e-6))
+                for a, b in zip(g1, g2))
+    check("posln train bwd == ref-grad(dumped mask)", worst < 5e-3,
+          f"worst rel err {worst:.2e}")
+
+
 CHECKS = {"nms": nms_parity, "aligned_k": aligned_k,
           "attention": attention_parity, "rng_dropout": rng_dropout_parity,
-          "ffn": ffn_parity, "sharded": sharded_step_n1}
+          "ffn": ffn_parity, "posln": posln_parity,
+          "sharded": sharded_step_n1}
 
 
 def main(argv=None):

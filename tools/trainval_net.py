@@ -210,7 +210,14 @@ def main(argv=None):
                         clip_norm=10.0 if args.net == "vgg16" else None)
     state = TrainState.create(params, tx)
 
-    mesh = make_mesh()
+    # data-parallel mesh over at most batch_size devices (the batch must
+    # split evenly, like DataParallel's scatter)
+    n_dev = jax.device_count()
+    n_use = max(d for d in range(1, n_dev + 1) if args.batch_size % d == 0)
+    mesh = make_mesh(n_use)
+    if n_use != n_dev:
+        printer(f"Using {n_use}/{n_dev} devices (batch {args.batch_size} "
+                "must split evenly)", c="yellow")
     printer(f"Mesh: {mesh.devices.size} device(s) on axis "
             f"{cfg.tpu.mesh_axes}")
     state = replicate(state, mesh)
