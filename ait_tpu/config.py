@@ -147,6 +147,7 @@ class TpuConfig:
     use_pallas_attention: bool = True          # fused attention kernel (eval)
     use_pallas_nms: bool = True                # Mosaic greedy-NMS sweep kernel
     input_uint8: bool = True                   # ship uint8, normalize on device
+    host_s2d: bool = True                      # loader ships [H/2, W/2, 12] (resnet stem)
     portrait_bucket: bool = True               # transposed canvas for tall images
     compute_dtype: str = "bfloat16"            # conv/matmul dtype; params stay f32
     mesh_axes: Tuple[str, ...] = ("data",)

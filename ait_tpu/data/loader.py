@@ -44,7 +44,7 @@ from ait_tpu.config import Config
 from ait_tpu.data.records import DatasetView
 from ait_tpu.data.transforms import (TORCHVISION_MEAN, crop_query,
                                      normalize, place_on_canvas,
-                                     prep_image, to_rgb3)
+                                     prep_image, space_to_depth, to_rgb3)
 
 
 def _read(path: str) -> np.ndarray:
@@ -68,6 +68,13 @@ class OneShotLoader:
         self.uint8 = bool(getattr(cfg.tpu, "input_uint8", False))
         self.portrait_bucket = bool(getattr(cfg.tpu, "portrait_bucket",
                                             False))
+        # ship target images space-to-depth'd ([H/2, W/2, 12] u8) so the
+        # resnet stem skips its device-side regroup + layout copy
+        self.host_s2d = (bool(getattr(cfg.tpu, "host_s2d", False))
+                         and self.uint8
+                         and cfg.model.backbone.startswith("resnet")
+                         and self.canvas[0] % 2 == 0
+                         and self.canvas[1] % 2 == 0)
 
         if training:
             if cfg.TRAIN.USE_FLIPPED:
@@ -100,7 +107,7 @@ class OneShotLoader:
             return (self.canvas[1], self.canvas[0])
         return self.canvas
 
-    def _prep_image(self, rec):
+    def _prep_image(self, rec, s2d: Optional[bool] = None):
         im = _read(rec.image_path)
         if rec.flipped:
             im = im[:, ::-1, :]
@@ -110,7 +117,10 @@ class OneShotLoader:
         im, scale = prep_image(im, scales[0], max_hw=canvas,
                                keep_uint8=self.uint8)
         h, w = im.shape[:2]
-        return place_on_canvas(im, canvas), h, w, scale
+        out = place_on_canvas(im, canvas)
+        if self.host_s2d if s2d is None else s2d:
+            out = space_to_depth(out)
+        return out, h, w, scale
 
     def _prep_query(self, exemplar, flip: bool) -> np.ndarray:
         im = _read(exemplar.image_path)
@@ -236,9 +246,11 @@ class OneShotLoader:
             np.array([r.flipped for r in recs], np.uint8),
             target, canvas, fill, n_threads)
         for j in np.nonzero(bad)[0]:       # imageio fallback per item
-            c, h, w, s = self._prep_image(recs[j])
+            c, h, w, s = self._prep_image(recs[j], s2d=False)
             canvases[j] = c
             info[j] = (h, w, s)
+        if self.host_s2d:
+            canvases = native.space_to_depth(canvases, n_threads)
         return canvases, info
 
     def _native_queries(self, exemplars, qflips, n_threads):

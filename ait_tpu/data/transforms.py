@@ -95,3 +95,19 @@ def place_on_canvas(im: np.ndarray, canvas_hw: Tuple[int, int]) -> np.ndarray:
     w = min(im.shape[1], canvas_hw[1])
     out[:h, :w, :] = im[:h, :w, :]
     return out
+
+
+def space_to_depth(arr: np.ndarray) -> np.ndarray:
+    """[..., H, W, 3] -> [..., H/2, W/2, 12] (channel = dy*6 + dx*3 + c).
+
+    The exact regroup the resnet stem rewrite performs on device
+    (models/resnet.py s2d_stem); doing it on the host removes the
+    device-side reshape + layout copy from the step."""
+    *lead, h, w, c = arr.shape
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    out = arr.reshape(*lead, h // 2, 2, w // 2, 2, c)
+    nd = out.ndim
+    # [..., h2, 2, w2, 2, c] -> [..., h2, w2, 2, 2, c]
+    perm = tuple(range(nd - 5)) + (nd - 5, nd - 3, nd - 4, nd - 2, nd - 1)
+    return np.ascontiguousarray(out.transpose(perm)).reshape(
+        *lead, h // 2, w // 2, 4 * c)

@@ -52,7 +52,12 @@ _NORM_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
 
 def _to_model_input(x, dtype):
     if x.dtype == jnp.uint8:
-        x = (x.astype(jnp.float32) / 255.0 - _NORM_MEAN) / _NORM_STD
+        # host space-to-depth inputs carry 4 pixel groups of 3 channels;
+        # normalization is elementwise so it commutes with the regroup
+        reps = x.shape[-1] // 3
+        mean = jnp.tile(_NORM_MEAN, reps) if reps > 1 else _NORM_MEAN
+        std = jnp.tile(_NORM_STD, reps) if reps > 1 else _NORM_STD
+        x = (x.astype(jnp.float32) / 255.0 - mean) / std
     return x.astype(dtype)
 
 

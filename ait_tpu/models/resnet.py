@@ -107,7 +107,16 @@ class ResNetBackbone(nn.Module):
         # convolution from the backward
         w = jax.lax.stop_gradient(_Conv1Kernel(name="conv1")())  # [7,7,3,64]
         x = x.astype(self.dtype)
-        if self.s2d_stem and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        if x.shape[-1] == 12:
+            # input already space-to-depth'd on the host (loader host_s2d;
+            # same regroup as below, so features are bitwise identical)
+            w8 = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+            w4 = w8.reshape(4, 2, 4, 2, 3, 64).transpose(0, 2, 1, 3, 4, 5)
+            w4 = w4.reshape(4, 4, 12, 64).astype(self.dtype)
+            x = jax.lax.conv_general_dilated(
+                x, w4, (1, 1), ((2, 1), (2, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        elif self.s2d_stem and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             # space-to-depth rewrite of conv 7x7/2: mathematically exact
             # (the 7x7 kernel zero-pads to 8x8 and regroups into 4x4 over
             # 2x2x3=12 input planes), but the contraction depth grows

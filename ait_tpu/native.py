@@ -51,6 +51,10 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.POINTER(ctypes.c_char_p), _f64p, _u8p,
         ctypes.c_int32, _u8p, _u8p, ctypes.c_int32]
     lib.ail_prep_queries.restype = ctypes.c_int
+    lib.ail_space_to_depth.argtypes = [
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, _u8p, _u8p,
+        ctypes.c_int32]
+    lib.ail_space_to_depth.restype = ctypes.c_int
     _LIB = lib
     return _LIB
 
@@ -119,6 +123,17 @@ def prep_targets(paths, flips, target_size: int, canvas_hw, fill,
     lib.ail_prep_targets(n, _paths_array(paths), flips, int(target_size),
                          ch, cw, fill, canvases, info, int(n_threads))
     return canvases, info, info[:, 2] == 0
+
+
+def space_to_depth(arr: np.ndarray, n_threads: int = 8) -> np.ndarray:
+    """[N, H, W, 3] u8 -> [N, H/2, W/2, 12] u8 (threaded C++; matches
+    transforms.space_to_depth exactly)."""
+    lib = _load()
+    n, h, w, _ = arr.shape
+    arr = np.ascontiguousarray(arr)
+    out = np.empty((n, h // 2, w // 2, 12), np.uint8)
+    lib.ail_space_to_depth(n, h, w, arr, out, int(n_threads))
+    return out
 
 
 def prep_queries(paths, boxes, flips, query_size: int, n_threads: int = 8):

@@ -42,9 +42,21 @@ def main():
     from ait_tpu.train import (TrainState, lr_schedule, make_optimizer,
                                make_train_step)
 
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ait_tpu.data.transforms import space_to_depth
+
     cfg, model = _flagship()
     h, w = cfg.tpu.image_size
     batch = _batch(BATCH, h, w, g=cfg.MAX_NUM_GT_BOXES)
+    # production input format (what the loader ships): uint8 queries and
+    # host space-to-depth'd uint8 images — the step now includes the
+    # on-device normalization the uint8 path pays
+    batch["image"] = jnp.asarray(space_to_depth(
+        (np.asarray(batch["image"]) * 255).astype(np.uint8)))
+    batch["query"] = jnp.asarray(
+        (np.asarray(batch["query"]) * 255).astype(np.uint8))
     params = _init_params(model, _batch(1, 160, 160))
     tx = make_optimizer(cfg, lr_schedule(0.01, 100, 4, 0.1))
     state = TrainState.create(params, tx)

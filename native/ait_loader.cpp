@@ -344,3 +344,26 @@ int ail_prep_queries(int64_t n, const char** paths, const double* boxes,
 }
 
 }  // extern "C"
+
+// Space-to-depth: [n, h, w, 3] u8 -> [n, h/2, w/2, 12] u8 with
+// channel = dy*6 + dx*3 + c (matches the device stem regroup and
+// transforms.space_to_depth).
+extern "C" int ail_space_to_depth(int64_t n, int32_t h, int32_t w,
+                                  const uint8_t* src, uint8_t* dst,
+                                  int32_t n_threads) {
+  int oh = h / 2, ow = w / 2;
+  parallel_for(int(n), n_threads, [&](int i) {
+    const uint8_t* s = src + size_t(i) * h * w * 3;
+    uint8_t* d = dst + size_t(i) * oh * ow * 12;
+    for (int y = 0; y < oh; ++y) {
+      const uint8_t* r0 = s + size_t(2 * y) * w * 3;
+      const uint8_t* r1 = r0 + size_t(w) * 3;
+      uint8_t* drow = d + size_t(y) * ow * 12;
+      for (int x = 0; x < ow; ++x) {
+        std::memcpy(drow + size_t(x) * 12 + 0, r0 + size_t(2 * x) * 3, 6);
+        std::memcpy(drow + size_t(x) * 12 + 6, r1 + size_t(2 * x) * 3, 6);
+      }
+    }
+  });
+  return 0;
+}

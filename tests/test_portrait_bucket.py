@@ -33,6 +33,8 @@ def test_portrait_canvas_and_resolution(tmp_path):
     view = make_view(tmp_path, cfg)
     loader = OneShotLoader(view, cfg, training=False)
     h, w = cfg.tpu.image_size
+    if loader.host_s2d:      # uint8 images ship as [H/2, W/2, 12]
+        h, w = h // 2, w // 2
     shapes = set()
     infos = {}
     for batch in loader.test_epoch(2, num_workers=1):
@@ -58,7 +60,9 @@ def test_landscape_only_without_bucket(tmp_path):
     loader = OneShotLoader(view, cfg, training=False)
     shapes = {batch["image"].shape[1:3]
               for batch in loader.test_epoch(2, num_workers=1)}
-    assert shapes == {cfg.tpu.image_size}
+    ch, cw = cfg.tpu.image_size
+    expect = (ch // 2, cw // 2) if loader.host_s2d else (ch, cw)
+    assert shapes == {expect}
 
 
 def test_train_batches_homogeneous(tmp_path):
@@ -68,6 +72,8 @@ def test_train_batches_homogeneous(tmp_path):
     shapes = [batch["image"].shape[1:3]
               for batch in loader.train_epoch(2, num_workers=1)]
     h, w = cfg.tpu.image_size
+    if loader.host_s2d:
+        h, w = h // 2, w // 2
     assert set(shapes) == {(h, w), (w, h)}
     # every record seen at least once per epoch (wrap-padded per group)
     assert len(shapes) >= len(view.records) // 2

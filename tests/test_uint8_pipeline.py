@@ -42,6 +42,11 @@ def test_loader_uint8_vs_float_paths(tmp_path):
     ifl = lf.test_item(0)
     assert i8["image"].dtype == np.uint8
     assert ifl["image"].dtype == np.float32
+    # uint8 images ship host-s2d ([H/2, W/2, 12]); normalization commutes
+    # with the regroup, so compare in s2d space
+    assert l8.host_s2d and i8["image"].shape[-1] == 12
+    from ait_tpu.data.transforms import space_to_depth
+    ifl["image"] = space_to_depth(ifl["image"])
     # device-normalized uint8 canvas ~= host-normalized canvas; the only
     # difference is uint8-resize rounding (sub-LSB, ~0.5/255 per channel)
     dev = np.asarray(_to_model_input(jnp.asarray(i8["image"]), jnp.float32))
