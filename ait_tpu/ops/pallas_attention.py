@@ -654,7 +654,7 @@ def _fused_bwd_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
                    nondiff_argnums=(11, 12, 13, 14, 15, 16))
 def fused_sh_attention(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
                        mask, n_head=8, d_k=64, d_v=64, dist="softmax",
-                       pair_tile=8, interpret=False):
+                       pair_tile=16, interpret=False):
     """Fused MHA + selective-head gate + out-proj + residual + LayerNorm.
 
     x_q: [P, Tq, D]; x_kv: [P, Tk, D]; mask: [Tq, Tk] bool (True=attend,
@@ -715,7 +715,7 @@ fused_sh_attention.defvjp(_fwd, _bwd)
 def fused_sh_attention_dropout(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w,
                                ln_s, ln_b, mask, attn_keep, out_keep,
                                n_head=8, d_k=64, d_v=64, dist="softmax",
-                               keep_prob=0.9, pair_tile=8, interpret=False):
+                               keep_prob=0.9, pair_tile=16, interpret=False):
     """Training-path variant of fused_sh_attention.
 
     attn_keep [P,H,Tq,Tk] / out_keep [P,Tq,D] are 0/1 keep-masks (bf16; see
@@ -778,7 +778,7 @@ fused_sh_attention_dropout.defvjp(_fwd_drop, _bwd_drop)
 def fused_sh_attention_rngdrop(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w,
                                ln_s, ln_b, mask, seed, n_head=8, d_k=64,
                                d_v=64, dist="softmax", keep_prob=0.9,
-                               pair_tile=8, interpret=False):
+                               pair_tile=16, interpret=False):
     """Training-path variant with IN-KERNEL PRNG dropout.
 
     seed: [2] int32.  Keep-masks are generated inside the kernel with

@@ -123,10 +123,20 @@ def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, *, out_size: int = 7,
         wx = _interp_weights(x1, bw, out_size, sx, ww, gx)  # [R, PW, W]
         wy = wy.astype(fm.dtype)
         wx = wx.astype(fm.dtype)
-        t = jnp.einsum("rih,hwc->riwc", wy, fm,
-                       preferred_element_type=jnp.float32)
-        o = jnp.einsum("rjw,riwc->rijc", wx, t.astype(fm.dtype),
-                       preferred_element_type=jnp.float32)
+        # contract the LARGER spatial axis first so the [R, out, ., C]
+        # intermediate carries the smaller one, and keep it in the compute
+        # dtype (MXU accumulation is f32 either way; materializing the
+        # ~hundreds-of-MB intermediate in f32 doubles its HBM traffic)
+        if ww >= hh:
+            t = jnp.einsum("rjw,hwc->rjhc", wx, fm,
+                           preferred_element_type=fm.dtype)
+            o = jnp.einsum("rih,rjhc->rijc", wy, t,
+                           preferred_element_type=jnp.float32)
+        else:
+            t = jnp.einsum("rih,hwc->riwc", wy, fm,
+                           preferred_element_type=fm.dtype)
+            o = jnp.einsum("rjw,riwc->rijc", wx, t,
+                           preferred_element_type=jnp.float32)
         return o.astype(fm.dtype)
 
     return jax.vmap(one)(feat, rois)
