@@ -152,6 +152,13 @@ class TpuConfig:
     compute_dtype: str = "bfloat16"            # conv/matmul dtype; params stay f32
     mesh_axes: Tuple[str, ...] = ("data",)
     donate_state: bool = True
+    # Tensor parallelism over a 'model' mesh axis (Megatron-style): attention
+    # heads and the FFN hidden dim of the AIT head + MHA co-attention are
+    # computed shard-locally with explicit psum/pmax collectives.  Only
+    # meaningful under parallel.make_sharded_train_step on a mesh that has
+    # `tp_axis`; requires t_n_head % tp_size == 0 and t_d_inner % tp_size == 0.
+    tp_size: int = 1
+    tp_axis: str = "model"
 
 
 @dataclass(frozen=True)

@@ -39,17 +39,20 @@ class EncoderLayer(nn.Module):
     dist: str
     dtype: Dtype = jnp.float32
     use_pallas: bool = True
+    tp_size: int = 1
+    tp_axis: str = "model"
 
     @nn.compact
     def __call__(self, x, mask, *, deterministic=True):
+        tp = dict(tp_size=self.tp_size, tp_axis=self.tp_axis)
         x, _ = MultiHeadAttention(
             self.n_head, self.d_model, self.d_k, self.d_v, self.dropout,
-            self.dist, self.dtype, use_pallas=self.use_pallas,
+            self.dist, self.dtype, use_pallas=self.use_pallas, **tp,
             name="slf_attn")(
                 x, x, x, mask, deterministic=deterministic)
         return PositionwiseFeedForward(
             self.d_model, self.d_inner, self.dropout, self.dtype,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas, **tp,
             name="pos_ffn")(x, deterministic=deterministic)
 
 
@@ -63,13 +66,16 @@ class DecoderLayer(nn.Module):
     dist: str
     dtype: Dtype = jnp.float32
     use_pallas: bool = True
+    tp_size: int = 1
+    tp_axis: str = "model"
 
     @nn.compact
     def __call__(self, x, enc_out, slf_mask, cross_mask, *, deterministic=True,
                  repeat: int = 1):
+        tp = dict(tp_size=self.tp_size, tp_axis=self.tp_axis)
         x, _ = MultiHeadAttention(
             self.n_head, self.d_model, self.d_k, self.d_v, self.dropout,
-            self.dist, self.dtype, use_pallas=self.use_pallas,
+            self.dist, self.dtype, use_pallas=self.use_pallas, **tp,
             name="slf_attn")(
                 x, x, x, slf_mask, deterministic=deterministic)
         if repeat > 1:
@@ -81,12 +87,12 @@ class DecoderLayer(nn.Module):
             x = jnp.repeat(x, repeat, axis=0)
         x, _ = MultiHeadAttention(
             self.n_head, self.d_model, self.d_k, self.d_v, self.dropout,
-            self.dist, self.dtype, use_pallas=self.use_pallas,
+            self.dist, self.dtype, use_pallas=self.use_pallas, **tp,
             name="enc_attn")(
                 x, enc_out, enc_out, cross_mask, deterministic=deterministic)
         return PositionwiseFeedForward(
             self.d_model, self.d_inner, self.dropout, self.dtype,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas, **tp,
             name="pos_ffn")(x, deterministic=deterministic)
 
 
@@ -107,6 +113,8 @@ class AITTransformer(nn.Module):
     channels: int = 1024  # in/out feature channels (d_word_vec * 2)
     dtype: Dtype = jnp.float32
     use_pallas: bool = True
+    tp_size: int = 1
+    tp_axis: str = "model"
 
     @nn.compact
     def __call__(self, x_props, x_query, *, deterministic: bool = True):
@@ -189,6 +197,7 @@ class AITTransformer(nn.Module):
             enc = EncoderLayer(
                 self.d_model, self.d_inner, self.n_head, self.d_k, self.d_v,
                 self.dropout, self.dist, self.dtype, self.use_pallas,
+                self.tp_size, self.tp_axis,
                 name=f"enc_layer{i}")(
                     enc, src_mask, deterministic=deterministic)
 
@@ -201,6 +210,7 @@ class AITTransformer(nn.Module):
             dec = DecoderLayer(
                 self.d_model, self.d_inner, self.n_head, self.d_k, self.d_v,
                 self.dropout, self.dist, self.dtype, self.use_pallas,
+                self.tp_size, self.tp_axis,
                 name=f"dec_layer{i}")(
                     dec, enc, trg_mask, src_mask, deterministic=deterministic,
                     repeat=dec_repeat if i == 0 else 1)

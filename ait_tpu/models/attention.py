@@ -102,6 +102,13 @@ class MultiHeadAttention(nn.Module):
     # generate the dropout keep-masks inside the kernel (pltpu PRNG) instead
     # of passing them as operands; saves mask RNG + ~450 MB/step HBM
     in_kernel_dropout: bool = True
+    # Megatron-style tensor parallelism: when tp_size > 1 the module must be
+    # running inside shard_map over a mesh with axis `tp_axis`; heads are
+    # computed shard-locally from block-slices of the (replicated) params and
+    # combined with explicit collectives.  See ait_tpu/parallel/tp.py for the
+    # matching gradient reduction.
+    tp_size: int = 1
+    tp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, q, k, v, mask: Optional[jnp.ndarray] = None,
@@ -127,6 +134,27 @@ class MultiHeadAttention(nn.Module):
         ln = _P((("scale", (self.d_model,), nn.initializers.ones),
                  ("bias", (self.d_model,), nn.initializers.zeros)),
                 name="LayerNorm_0")()
+
+        def out_proj_ln(out):
+            """fc -> dropout -> residual -> post-LN tail (SubLayers.py:95-101),
+            computed in f32 for the LN statistics."""
+            out = out @ fc.astype(out.dtype)
+            out = nn.Dropout(self.dropout,
+                             deterministic=deterministic)(out)
+            out = out + residual
+            outf = out.astype(jnp.float32)
+            mu = jnp.mean(outf, axis=-1, keepdims=True)
+            var = jnp.mean((outf - mu) ** 2, axis=-1, keepdims=True)
+            outf = (outf - mu) * jax.lax.rsqrt(var + 1e-6) * ln["scale"] + \
+                ln["bias"]
+            return outf.astype(self.dtype)
+
+        if self.tp_size > 1:
+            # (single-head MHA can't head-shard, and letting it fall through
+            # would break parallel/tp.py's by-name grad psum — reject)
+            assert self.n_head > 1, "tp_size > 1 requires n_head > 1"
+            return self._tp_forward(q, k, v, mask, wq, wk, wv, sh, out_proj_ln,
+                                    deterministic=deterministic)
 
         fuse = (self.use_pallas and self.n_head > 1 and
                 self.dist == "softmax" and
@@ -237,15 +265,89 @@ class MultiHeadAttention(nn.Module):
             out = jnp.sum(out, axis=1)              # [B, lq, d_v]
         else:
             out = out.transpose(0, 2, 1, 3).reshape(b, lq, -1)
-        out = out @ fc.astype(out.dtype)
-        out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
-        out = out + residual
-        outf = out.astype(jnp.float32)
-        mu = jnp.mean(outf, axis=-1, keepdims=True)
-        var = jnp.mean((outf - mu) ** 2, axis=-1, keepdims=True)
-        outf = (outf - mu) * jax.lax.rsqrt(var + 1e-6) * ln["scale"] + \
-            ln["bias"]
-        return outf.astype(self.dtype), attn
+        return out_proj_ln(out), attn
+
+    def _tp_forward(self, q, k, v, mask, wq, wk, wv, sh, out_proj_ln, *,
+                    deterministic: bool):
+        """Head-sharded attention over the `tp_axis` mesh axis.
+
+        Each shard computes n_head/tp_size heads from block-slices of the
+        replicated params (so out-of-block param grads are zero and a psum
+        over tp_axis reconstructs the full gradient — parallel/tp.py).  The
+        SHBlock gate softmax runs over ALL heads via pmax/psum; the collapsed
+        [B, T, d_v] head sum is psum'd, after which fc/dropout/residual/LN
+        are computed replicated (their grads are identical across shards).
+        """
+        tp, axis = self.tp_size, self.tp_axis
+        assert self.n_head % tp == 0, (self.n_head, tp)
+        n_loc = self.n_head // tp
+        idx = jax.lax.axis_index(axis)
+        dt = self.dtype
+
+        from ait_tpu.parallel.tp import replicate_for_tp, tp_allreduce
+
+        def head_slice(w, d):
+            wf = w.astype(dt).reshape(w.shape[0], self.n_head, d)
+            return jax.lax.dynamic_slice_in_dim(wf, idx * n_loc, n_loc, 1)
+
+        # Megatron 'f': the projection inputs are replicated, but each
+        # shard's backward only carries its own heads' cotangent — psum it
+        # (the residual path stays unwrapped: its cotangent is already full)
+        qi = replicate_for_tp(q.astype(dt), axis)
+        ki = replicate_for_tp(k.astype(dt), axis)
+        vi = replicate_for_tp(v.astype(dt), axis)
+        qh = jnp.einsum("btd,dhk->bhtk", qi, head_slice(wq, self.d_k))
+        kh = jnp.einsum("btd,dhk->bhtk", ki, head_slice(wk, self.d_k))
+        vh = jnp.einsum("btd,dhk->bhtk", vi, head_slice(wv, self.d_v))
+
+        drop = None
+        if not deterministic and self.dropout > 0.0:
+            # per-shard independent masks (these act on the shard-local
+            # heads); the out-proj dropout inside out_proj_ln uses the
+            # UNFOLDED stream so its mask — applied to a replicated tensor —
+            # is identical on every shard, keeping grads consistent
+            r = jax.random.fold_in(self.make_rng("dropout"), idx)
+            keep = 1.0 - self.dropout
+
+            def drop(attn):
+                m = jax.random.bernoulli(r, keep, attn.shape)
+                return jnp.where(m, attn / keep, 0.0)
+
+        hmask = mask[:, None] if mask is not None else None
+        out, _ = scaled_dot_attention(
+            qh, kh, vh, temperature=self.d_k ** 0.5, mask=hmask,
+            dist=self.dist, dropout=drop)             # [B, n_loc, T, d_v]
+
+        # SHBlock gate over ALL heads (SubLayers.py:9-39): the gate input is
+        # the head-sum pooled over tokens — psum the shard-partial sum.
+        # `s` is replicated but feeds SHARD-LOCAL gate logits, so it crosses
+        # back into sliced compute: wrap with replicate_for_tp so its
+        # cotangent (shard-partial, one slice of heads each) is psum'd back
+        # to the full derivative before flowing into the head sum.
+        s = replicate_for_tp(
+            tp_allreduce(jnp.mean(jnp.sum(out, axis=1), axis=1), axis), axis)
+        skk = sh["kernel"].astype(s.dtype).reshape(
+            self.d_v, self.n_head, self.d_v)
+        skk = jax.lax.dynamic_slice_in_dim(skk, idx * n_loc, n_loc, 1)
+        skb = sh["bias"].astype(s.dtype).reshape(self.n_head, self.d_v)
+        skb = jax.lax.dynamic_slice_in_dim(skb, idx * n_loc, n_loc, 0)
+        logits = (jnp.einsum("bd,dhe->bhe", s, skk) + skb).astype(jnp.float32)
+        # stability shift only — mathematically gradient-free; pmax has no
+        # AD rule, so take the max over an all_gather (tiny: [tp, B, 1, d_v])
+        # of the stopped per-shard maxima
+        gmax = jnp.max(jax.lax.all_gather(
+            jax.lax.stop_gradient(jnp.max(logits, axis=1, keepdims=True)),
+            axis), axis=0)
+        e = jnp.exp(logits - gmax)
+        # same boundary situation for the softmax denominator: replicated
+        # value consumed by every shard's local gates
+        denom = replicate_for_tp(
+            tp_allreduce(jnp.sum(e, axis=1, keepdims=True), axis), axis)
+        gate = e / denom
+
+        out = jnp.sum(out * gate.astype(out.dtype)[:, :, None, :], axis=1)
+        out = tp_allreduce(out, axis)                 # [B, T, d_v] full
+        return out_proj_ln(out), None
 
 
 class PositionwiseFeedForward(nn.Module):
@@ -263,10 +365,14 @@ class PositionwiseFeedForward(nn.Module):
     dtype: Dtype = jnp.float32
     kernel_init: Any = xavier_uniform()
     use_pallas: bool = True
+    # Megatron column/row-parallel FFN over the `tp_axis` mesh axis
+    # (see MultiHeadAttention.tp_size / parallel/tp.py)
+    tp_size: int = 1
+    tp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        if self.use_pallas:
+        if self.use_pallas or self.tp_size > 1:
             from ait_tpu.ops.pallas_ffn import (ffn_reference, fused_ffn)
 
             w1 = _P((("kernel", (x.shape[-1], self.d_hid),
@@ -282,6 +388,40 @@ class PositionwiseFeedForward(nn.Module):
             shape = x.shape
             dt = self.dtype
             flat = x.reshape(-1, shape[-1]).astype(dt)
+
+            if self.tp_size > 1:
+                # column-parallel w1 / row-parallel w2: each shard computes
+                # d_hid/tp hidden units from block-slices of the replicated
+                # params, one psum recombines the output (Megatron-style;
+                # grads reduced by parallel/tp.py)
+                tp, axis = self.tp_size, self.tp_axis
+                assert self.d_hid % tp == 0, (self.d_hid, tp)
+                h_loc = self.d_hid // tp
+                idx = jax.lax.axis_index(axis)
+                w1k = jax.lax.dynamic_slice_in_dim(
+                    w1["kernel"].astype(dt), idx * h_loc, h_loc, 1)
+                w1b = jax.lax.dynamic_slice_in_dim(
+                    w1["bias"], idx * h_loc, h_loc, 0)
+                w2k = jax.lax.dynamic_slice_in_dim(
+                    w2["kernel"].astype(dt), idx * h_loc, h_loc, 0)
+                from ait_tpu.parallel.tp import (replicate_for_tp,
+                                                 tp_allreduce)
+
+                # Megatron 'f' on the matmul input (residual path unwrapped)
+                y = nn.relu(replicate_for_tp(flat, axis) @ w1k +
+                            w1b.astype(dt))
+                z = tp_allreduce(y @ w2k, axis) + w2["bias"].astype(dt)
+                # dropout mask drawn from the unfolded stream: identical on
+                # every shard (z is replicated after the psum)
+                z = nn.Dropout(self.dropout,
+                               deterministic=deterministic)(z)
+                outf = (z + flat).astype(jnp.float32)
+                mu = jnp.mean(outf, axis=-1, keepdims=True)
+                var = jnp.mean((outf - mu) ** 2, axis=-1, keepdims=True)
+                outf = (outf - mu) * jax.lax.rsqrt(var + 1e-6) * \
+                    ln["scale"] + ln["bias"]
+                return outf.astype(dt).reshape(shape)
+
             train_drop = (not deterministic) and self.dropout > 0.0
             keep_prob = 1.0 - self.dropout if train_drop else 1.0
             if train_drop:

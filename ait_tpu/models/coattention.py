@@ -31,6 +31,8 @@ class MHACoAttention(nn.Module):
     d_v: int = 64
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
+    tp_size: int = 1            # head-sharded tensor parallelism (attention.py)
+    tp_axis: str = "model"
 
     @nn.compact
     def __call__(self, x_img, x_qry, *, deterministic: bool = True):
@@ -44,13 +46,14 @@ class MHACoAttention(nn.Module):
         qry = qry.reshape(b, hq * wq, d)
 
         # note the reference's naming is crossed: q2i_attn attends image->query
+        tp = dict(tp_size=self.tp_size, tp_axis=self.tp_axis)
         enc_img, _ = MultiHeadAttention(
             self.n_head, d, self.d_k, self.d_v, self.dropout,
-            dtype=self.dtype, name="q2i_attn")(
+            dtype=self.dtype, **tp, name="q2i_attn")(
                 img, qry, qry, deterministic=deterministic)
         enc_qry, _ = MultiHeadAttention(
             self.n_head, d, self.d_k, self.d_v, self.dropout,
-            dtype=self.dtype, name="i2q_attn")(
+            dtype=self.dtype, **tp, name="i2q_attn")(
                 qry, img, img, deterministic=deterministic)
 
         enc_img = nn.Dense(c, dtype=self.dtype, name="img_trans")(enc_img)

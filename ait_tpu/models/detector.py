@@ -98,7 +98,8 @@ class AITDetector(nn.Module):
         if mc.coattention == "mha":
             self.coattention = MHACoAttention(
                 ch, mc.t_n_head, mc.t_d_k, mc.t_d_v, mc.t_dropout,
-                dtype=self.dtype)
+                dtype=self.dtype, tp_size=c.tpu.tp_size,
+                tp_axis=c.tpu.tp_axis)
         elif mc.coattention == "nonlocal":
             self.coattention = NonLocalCoAttention(
                 ch, mc.coatt_normalization, dtype=self.dtype)
@@ -115,7 +116,8 @@ class AITDetector(nn.Module):
             n_position=mc.t_n_position, dropout=mc.t_dropout,
             causal_mask=mc.t_causal_mask, dist=mc.t_attn_dist,
             channels=ch, dtype=self.dtype,
-            use_pallas=c.tpu.use_pallas_attention)
+            use_pallas=c.tpu.use_pallas_attention,
+            tp_size=c.tpu.tp_size, tp_axis=c.tpu.tp_axis)
         self.sk = SKNet(ch, gate=mc.sk_gate, dtype=self.dtype)
 
         if mc.with_contextual_relation:

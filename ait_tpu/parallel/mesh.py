@@ -21,13 +21,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None,
-              axes: Sequence[str] = ("data",)) -> Mesh:
-    """1-D (or reshaped) mesh over the first n devices."""
+              axes: Sequence[str] = ("data",),
+              shape: Optional[Sequence[int]] = None) -> Mesh:
+    """Mesh over the first n devices.
+
+    `shape` gives the per-axis sizes for a multi-axis mesh (e.g.
+    axes=("data", "model"), shape=(4, 2)); without it a multi-axis mesh is
+    laid out as a hypercube.  Axis order matters for ICI locality: the LAST
+    axis varies fastest over neighboring devices, so put the
+    latency-sensitive axis (tp/model) last.
+    """
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     arr = np.asarray(devices)
-    if len(axes) > 1:
+    if shape is not None:
+        assert len(shape) == len(axes), (shape, axes)
+        arr = arr.reshape(tuple(shape))
+    elif len(axes) > 1:
         side = round(len(devices) ** (1.0 / len(axes)))
         arr = arr.reshape((side,) * len(axes))
     return Mesh(arr, tuple(axes))

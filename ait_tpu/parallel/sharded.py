@@ -47,17 +47,29 @@ from ait_tpu.train.state import TrainState, batch_tuple
 
 
 def make_sharded_train_step(model, tx: optax.GradientTransformation,
-                            mesh: Mesh, axis: str = "data") -> Callable:
+                            mesh: Mesh, axis: str = "data",
+                            tp_axis: str = None) -> Callable:
     """train_step(state, batch, rng) -> (state, metrics), shard_mapped.
 
     state/rng replicated, batch sharded on dim 0 over `axis`; outputs
     replicated.  Equivalent to jit(make_train_step(...)) on 1 device and to
     DataParallel's replicate/scatter/gather semantics on n.
+
+    With `tp_axis` set (a second mesh axis; the model must be built with
+    cfg.tpu.tp_size == mesh.shape[tp_axis]), the batch stays replicated over
+    that axis while attention heads / FFN hidden units are computed
+    shard-locally with in-model collectives; the block-sparse param grads are
+    reconstructed by one psum over tp_axis (parallel/tp.py) — all other
+    grads are computed replicated and need no collective.
     """
     n_shards = int(mesh.shape[axis])
+    if tp_axis is not None:
+        from ait_tpu.parallel.tp import tp_psum_grads
 
     def local_step(state: TrainState, batch, rng):
         if n_shards > 1:
+            # fold the DATA shard id only: dropout/sampling draws must agree
+            # across tp shards (they act on tensors replicated over tp_axis)
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         drop, samp = jax.random.split(jax.random.fold_in(rng, state.step))
 
@@ -69,6 +81,8 @@ def make_sharded_train_step(model, tx: optax.GradientTransformation,
 
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
+        if tp_axis is not None:
+            grads = tp_psum_grads(grads, tp_axis)
         if n_shards > 1:
             # DataParallel's gather + .mean() (trainval_net_voc.py:391-395)
             grads = jax.lax.pmean(grads, axis)

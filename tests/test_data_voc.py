@@ -100,7 +100,10 @@ def test_train_loader_batch(devkit):
     loader = OneShotLoader(view, cfg, training=True, seed=0)
     batch = next(loader.train_epoch(4, num_workers=2))
     h, w = cfg.tpu.image_size
-    assert batch["image"].shape == (4, h, w, 3)
+    if cfg.tpu.host_s2d:  # loader ships the resnet-stem s2d layout
+        assert batch["image"].shape == (4, h // 2, w // 2, 12)
+    else:
+        assert batch["image"].shape == (4, h, w, 3)
     assert batch["query"].shape == (4, 128, 128, 3)
     assert batch["gt_boxes"].shape == (4, cfg.MAX_NUM_GT_BOXES, 5)
     assert batch["im_info"].shape == (4, 3)
