@@ -241,15 +241,19 @@ class OneShotLoader:
         target = (self.cfg.TRAIN.SCALES if self.training
                   else self.cfg.TEST.SCALES)[0]
         fill = np.round(TORCHVISION_MEAN * 255.0).astype(np.uint8)
+        # fused emit: the C++ canvas write produces the s2d layout directly
+        # (no second full-batch pass); falls back to a separate threaded
+        # pass with a stale prebuilt .so
+        fused = self.host_s2d and native.supports_fused_s2d()
         canvases, info, bad = native.prep_targets(
             [r.image_path for r in recs],
             np.array([r.flipped for r in recs], np.uint8),
-            target, canvas, fill, n_threads)
+            target, canvas, fill, n_threads, s2d=fused)
         for j in np.nonzero(bad)[0]:       # imageio fallback per item
-            c, h, w, s = self._prep_image(recs[j], s2d=False)
+            c, h, w, s = self._prep_image(recs[j], s2d=fused)
             canvases[j] = c
             info[j] = (h, w, s)
-        if self.host_s2d:
+        if self.host_s2d and not fused:
             canvases = native.space_to_depth(canvases, n_threads)
         return canvases, info
 

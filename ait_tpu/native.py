@@ -47,6 +47,14 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, _u8p, _u8p,
         _f32p, ctypes.c_int32]
     lib.ail_prep_targets.restype = ctypes.c_int
+    try:  # newer .so: fused space-to-depth canvas emit
+        lib.ail_prep_targets2.argtypes = [
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_char_p), _u8p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, _u8p,
+            ctypes.c_int32, _u8p, _f32p, ctypes.c_int32]
+        lib.ail_prep_targets2.restype = ctypes.c_int
+    except AttributeError:  # pragma: no cover - stale prebuilt library
+        pass
     lib.ail_prep_queries.argtypes = [
         ctypes.c_int64, ctypes.POINTER(ctypes.c_char_p), _f64p, _u8p,
         ctypes.c_int32, _u8p, _u8p, ctypes.c_int32]
@@ -105,23 +113,37 @@ def _paths_array(paths):
     return arr
 
 
+def supports_fused_s2d() -> bool:
+    """True iff the loaded .so can emit the s2d layout during canvas
+    placement (ail_prep_targets2)."""
+    lib = _load()
+    return lib is not None and hasattr(lib, "ail_prep_targets2")
+
+
 def prep_targets(paths, flips, target_size: int, canvas_hw, fill,
-                 n_threads: int = 8):
+                 n_threads: int = 8, s2d: bool = False):
     """Batch decode+flip+scale+canvas (native input pipeline).
 
-    Returns (canvases [N,H,W,3]u8, info [N,3]f32, failed mask) — a failed
-    item (unreadable/unsupported file) has info[:,2]==0; callers redo those
-    through the python path.
+    Returns (canvases, info [N,3]f32, failed mask) — canvases are
+    [N,H,W,3]u8, or [N,H/2,W/2,12]u8 with `s2d` (fused space-to-depth emit,
+    needs `supports_fused_s2d()`).  A failed item (unreadable/unsupported
+    file) has info[:,2]==0; callers redo those through the python path.
     """
     lib = _load()
     n = len(paths)
     ch, cw = int(canvas_hw[0]), int(canvas_hw[1])
-    canvases = np.empty((n, ch, cw, 3), np.uint8)
     info = np.empty((n, 3), np.float32)
     flips = np.ascontiguousarray(flips, np.uint8)
     fill = np.ascontiguousarray(fill, np.uint8)
-    lib.ail_prep_targets(n, _paths_array(paths), flips, int(target_size),
-                         ch, cw, fill, canvases, info, int(n_threads))
+    if s2d:
+        canvases = np.empty((n, ch // 2, cw // 2, 12), np.uint8)
+        lib.ail_prep_targets2(n, _paths_array(paths), flips,
+                              int(target_size), ch, cw, fill, 1, canvases,
+                              info, int(n_threads))
+    else:
+        canvases = np.empty((n, ch, cw, 3), np.uint8)
+        lib.ail_prep_targets(n, _paths_array(paths), flips, int(target_size),
+                             ch, cw, fill, canvases, info, int(n_threads))
     return canvases, info, info[:, 2] == 0
 
 

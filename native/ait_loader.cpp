@@ -226,20 +226,23 @@ void parallel_for(int n, int n_threads, const std::function<void(int)>& fn) {
 extern "C" {
 
 // Targets: decode -> flip -> shortest-side scale (canvas-capped) -> canvas.
-//   paths[n], flip[n]; out_canvases: n * ch * cw * 3 uint8 (C-contiguous);
+//   paths[n], flip[n]; out_canvases: n * ch * cw * 3 uint8 (C-contiguous),
+//   or n * (ch/2) * (cw/2) * 12 with s2d != 0 (space-to-depth emitted
+//   directly during canvas placement — saves a second full-batch pass);
 //   out_info: n * 3 f32 rows (scaled_h, scaled_w, scale); fill[3] uint8.
 // Returns the number of failed items (their info row is zeroed).
-int ail_prep_targets(int64_t n, const char** paths, const uint8_t* flip,
-                     int32_t target_size, int32_t canvas_h, int32_t canvas_w,
-                     const uint8_t* fill, uint8_t* out_canvases,
-                     float* out_info, int32_t n_threads) {
+int ail_prep_targets2(int64_t n, const char** paths, const uint8_t* flip,
+                      int32_t target_size, int32_t canvas_h, int32_t canvas_w,
+                      const uint8_t* fill, int32_t s2d, uint8_t* out_canvases,
+                      float* out_info, int32_t n_threads) {
   std::atomic<int> failed(0);
+  const size_t canvas_bytes = size_t(canvas_h) * canvas_w * 3;  // same if s2d
   parallel_for(int(n), n_threads, [&](int i) {
-    uint8_t* canvas = out_canvases + size_t(i) * canvas_h * canvas_w * 3;
+    uint8_t* canvas = out_canvases + size_t(i) * canvas_bytes;
     float* info = out_info + size_t(i) * 3;
     Image im;
     if (!decode_file(paths[i], &im)) {
-      std::memset(canvas, 0, size_t(canvas_h) * canvas_w * 3);
+      std::memset(canvas, 0, canvas_bytes);
       info[0] = info[1] = info[2] = 0.f;
       failed.fetch_add(1);
       return;
@@ -254,21 +257,51 @@ int ail_prep_targets(int64_t n, const char** paths, const uint8_t* flip,
     if (dw > canvas_w) dw = canvas_w;
     std::vector<uint8_t> resized(size_t(dh) * dw * 3);
     resize_bilinear(im.data.data(), im.h, im.w, resized.data(), dh, dw);
-    for (int y = 0; y < canvas_h; ++y) {
-      uint8_t* row = canvas + size_t(y) * canvas_w * 3;
-      if (y < dh) {
-        std::memcpy(row, resized.data() + size_t(y) * dw * 3,
-                    size_t(dw) * 3);
-        for (int x = dw; x < canvas_w; ++x) {
-          row[x * 3 + 0] = fill[0];
-          row[x * 3 + 1] = fill[1];
-          row[x * 3 + 2] = fill[2];
+    if (s2d) {
+      // fused canvas + space-to-depth: channel = dy*6 + dx*3 + c
+      // (matches ail_space_to_depth / transforms.space_to_depth bitwise)
+      const int oh = canvas_h / 2, ow = canvas_w / 2;
+      for (int y = 0; y < oh; ++y) {
+        uint8_t* drow = canvas + size_t(y) * ow * 12;
+        for (int x = 0; x < ow; ++x) {
+          uint8_t* px = drow + size_t(x) * 12;
+          for (int dy = 0; dy < 2; ++dy) {
+            const int sy = 2 * y + dy;
+            for (int dx = 0; dx < 2; ++dx) {
+              const int sx = 2 * x + dx;
+              uint8_t* o = px + (dy * 6 + dx * 3);
+              if (sy < dh && sx < dw) {
+                const uint8_t* sp =
+                    resized.data() + (size_t(sy) * dw + sx) * 3;
+                o[0] = sp[0];
+                o[1] = sp[1];
+                o[2] = sp[2];
+              } else {
+                o[0] = fill[0];
+                o[1] = fill[1];
+                o[2] = fill[2];
+              }
+            }
+          }
         }
-      } else {
-        for (int x = 0; x < canvas_w; ++x) {
-          row[x * 3 + 0] = fill[0];
-          row[x * 3 + 1] = fill[1];
-          row[x * 3 + 2] = fill[2];
+      }
+    } else {
+      for (int y = 0; y < canvas_h; ++y) {
+        uint8_t* row = canvas + size_t(y) * canvas_w * 3;
+        if (y < dh) {
+          std::memcpy(row, resized.data() + size_t(y) * dw * 3,
+                      size_t(dw) * 3);
+          for (int x = dw; x < canvas_w; ++x) {
+            row[x * 3 + 0] = fill[0];
+            row[x * 3 + 1] = fill[1];
+            row[x * 3 + 2] = fill[2];
+          }
+        } else {
+          for (int x = 0; x < canvas_w; ++x) {
+            row[x * 3 + 0] = fill[0];
+            row[x * 3 + 1] = fill[1];
+            row[x * 3 + 2] = fill[2];
+          }
         }
       }
     }
@@ -277,6 +310,15 @@ int ail_prep_targets(int64_t n, const char** paths, const uint8_t* flip,
     info[2] = float(scale);
   });
   return failed.load();
+}
+
+// Legacy ABI (no s2d flag) — kept so an older ait_tpu/native.py still binds.
+int ail_prep_targets(int64_t n, const char** paths, const uint8_t* flip,
+                     int32_t target_size, int32_t canvas_h, int32_t canvas_w,
+                     const uint8_t* fill, uint8_t* out_canvases,
+                     float* out_info, int32_t n_threads) {
+  return ail_prep_targets2(n, paths, flip, target_size, canvas_h, canvas_w,
+                           fill, 0, out_canvases, out_info, n_threads);
 }
 
 // Queries: decode -> crop int-truncated box -> center-pad square -> resize

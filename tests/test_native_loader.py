@@ -66,6 +66,24 @@ def test_epoch_stream_matches_python():
         _compare(bp, bn)
 
 
+def test_fused_s2d_emit_bitwise_matches_separate_pass():
+    """ail_prep_targets2(s2d=1) == ail_prep_targets + ail_space_to_depth."""
+    assert native.supports_fused_s2d()
+    _, ln = _loaders(training=True)
+    recs = ln.view.records[:6]
+    paths = [r.image_path for r in recs]
+    flips = np.array([r.flipped for r in recs], np.uint8)
+    fill = np.array([124, 116, 104], np.uint8)
+    canvas = ln.canvas
+    plain, info_a, bad_a = native.prep_targets(
+        paths, flips, 600, canvas, fill, 2, s2d=False)
+    fused, info_b, bad_b = native.prep_targets(
+        paths, flips, 600, canvas, fill, 2, s2d=True)
+    assert not bad_a.any() and not bad_b.any()
+    np.testing.assert_array_equal(info_a, info_b)
+    np.testing.assert_array_equal(native.space_to_depth(plain, 2), fused)
+
+
 def test_unsupported_format_falls_back():
     import dataclasses
     import imageio.v2 as imageio
