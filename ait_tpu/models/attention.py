@@ -38,6 +38,15 @@ Dtype = Any
 
 xavier_uniform = nn.initializers.xavier_uniform
 
+# module-level switch for the long-sequence fused path (dataclass defaults
+# are baked at class creation, so tools/diff_bench.py toggles this instead
+# of the `pallas_long_seq` field).  Default OFF: the A/B on the real chip
+# (tools/diff_bench.py --mode base longseq) measured the fused co-attention
+# at +1.8 ms/step vs XLA at the flagship 1900x64 shapes — XLA's unfused
+# long-sequence attention wins there, so fusion stays opt-in for other
+# shape regimes.
+_LONG_SEQ_FUSION = False
+
 
 class _P(nn.Module):
     """Named parameter holder: creates `<name>/<leaf>` paths."""
@@ -95,7 +104,15 @@ class MultiHeadAttention(nn.Module):
     dtype: Dtype = jnp.float32
     kernel_init: Any = xavier_uniform()
     use_pallas: bool = True
-    pallas_max_tokens: int = 128  # fused path only for short sequences
+    pallas_max_tokens: int = 128  # both-sides-short fused path bound
+    # long-sequence fusion (the co-attention MHAs: ~1900 image tokens against
+    # 64 query tokens): fuse when ONE side is short and the [Tq, Tk]
+    # attention area still fits VMEM comfortably; the pair tile shrinks so
+    # each grid step stays within the scoped-VMEM budget.  Gated by the
+    # module-level _LONG_SEQ_FUSION (default off — measured slower than XLA
+    # at the flagship shapes; see that flag's comment)
+    pallas_long_seq: bool = True
+    pallas_max_area: int = 192 * 1024
     # training-path fusion (fused forward + fused recompute-backward
     # kernels, dropout via keep-mask operands); escape hatch for ablation
     use_pallas_train: bool = True
@@ -156,10 +173,24 @@ class MultiHeadAttention(nn.Module):
             return self._tp_forward(q, k, v, mask, wq, wk, wv, sh, out_proj_ln,
                                     deterministic=deterministic)
 
+        pmax = self.pallas_max_tokens
+        fuse_short = lq <= pmax and lk <= pmax
+        fuse_long = (self.pallas_long_seq and _LONG_SEQ_FUSION and
+                     min(lq, lk) <= pmax and
+                     lq * lk <= self.pallas_max_area)
+        # pair tile: 16 is the tuned value for the AIT head's short
+        # sequences; for long sequences bound the rows per grid step
+        pair_tile = 16 if fuse_short else max(1, 2048 // max(lq, lk))
+        if not deterministic and self.dropout > 0.0 and \
+                not self.in_kernel_dropout:
+            # the operand-keep-mask kernel variant rides flat [H, P*Tq, Tk]
+            # layouts whose blocks need 8-divisible rows — only guaranteed
+            # for the short-sequence (Tq<=128) shapes; the long-seq path
+            # trains via in-kernel PRNG dropout instead
+            fuse_long = False
         fuse = (self.use_pallas and self.n_head > 1 and
                 self.dist == "softmax" and
-                k is v and lq <= self.pallas_max_tokens and
-                lk <= self.pallas_max_tokens and
+                k is v and (fuse_short or fuse_long) and
                 (deterministic or self.use_pallas_train or
                  self.dropout == 0.0))
         if fuse:
@@ -196,7 +227,7 @@ class MultiHeadAttention(nn.Module):
                     def kernel_branch(*a):
                         return fused_sh_attention_rngdrop(
                             *a[:11], a[11], self.n_head, self.d_k,
-                            self.d_v, self.dist, keep)
+                            self.d_v, self.dist, keep, pair_tile)
 
                     def ref_branch(*a):
                         return _reference_impl(
@@ -213,7 +244,7 @@ class MultiHeadAttention(nn.Module):
                     def kernel_branch(*a):
                         return fused_sh_attention_dropout(
                             *a, self.n_head, self.d_k, self.d_v, self.dist,
-                            keep)
+                            keep, pair_tile)
 
                     def ref_branch(*a):
                         return _reference_impl(*a, n_head=self.n_head,
@@ -223,7 +254,7 @@ class MultiHeadAttention(nn.Module):
             else:
                 def kernel_branch(*a):
                     return fused_sh_attention(*a, self.n_head, self.d_k,
-                                              self.d_v, self.dist)
+                                              self.d_v, self.dist, pair_tile)
 
                 def ref_branch(*a):
                     return _reference_impl(*a, n_head=self.n_head,

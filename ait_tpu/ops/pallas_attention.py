@@ -105,8 +105,14 @@ def _flat_slice(m, base, g, t):
     return m[base * t:(base + g) * t]
 
 
-def _pair_group(p):
-    return 2 if p % 2 == 0 else 1
+def _pair_group(p, tk):
+    """Pack 2 pairs block-diagonally only when that fills the 128-wide MXU.
+
+    For short keys (the AIT head's 64-token sequences) packing doubles MXU
+    utilization.  For long keys (co-attention's ~1900 image tokens) the lane
+    dim is already wide — packing would double the attention FLOPs for zero
+    utilization gain and double the [Tq, Tk] live memory, so keep g=1."""
+    return 2 if (p % 2 == 0 and tk <= 128) else 1
 
 
 def _rng_interpret(interpret):
@@ -157,6 +163,15 @@ def _gen_out_rows(seed_ref, abs_pair0, p, tq, d, thresh, dtype):
     return jnp.concatenate(rows, axis=0) if p > 1 else rows[0]
 
 
+def _oh_4d(tq):
+    """Layout of the saved per-head attention outputs: flat [H, P*Tq, dv]
+    when Tq is sublane-aligned (any pair tile keeps blocks 8-divisible);
+    4-D [H, P, Tq, dv] for unaligned Tq (co-attention's 1900 image tokens),
+    where the block's last two dims are full-size and therefore exempt from
+    the 8x128 divisibility rule."""
+    return tq % 8 != 0
+
+
 def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
             fcw_ref, lns_ref, lnb_ref, mask_ref, *rest, n_head, d_k,
             d_v, dist, keep_prob, save_oh=False, rng_drop=False):
@@ -191,7 +206,7 @@ def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
     xq2 = xq.reshape(p * tq, d)
     xkv2 = xkv.reshape(p * tk, d)
 
-    g = _pair_group(p)
+    g = _pair_group(p, tk)
     maskg = _pack_mask(mask_ref[:], g, tq, tk)
     scale = 1.0 / (d_k ** 0.5)
     inv_keep = 1.0 / keep_prob
@@ -234,7 +249,10 @@ def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
                                preferred_element_type=jnp.float32))
         og = jnp.concatenate(ohs, axis=0)           # [P*Tq, dv]
         if ohall_ref is not None:
-            ohall_ref[h] = og
+            if _oh_4d(tq):
+                ohall_ref[h] = og.reshape(p, tq, d_v)
+            else:
+                ohall_ref[h] = og
         oh = og.reshape(p, tq, d_v)
         o_heads.append(oh)
         u = u + oh
@@ -329,12 +347,20 @@ def _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((p, tq, d), x_q.dtype)
     if save_oh:
-        out_specs = [out_specs,
-                     pl.BlockSpec((n_head, pt * tq, d_v), lambda i: (0, i, 0),
-                                  memory_space=pltpu.VMEM)]
-        out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((n_head, p * tq, d_v),
-                                          jnp.float32)]
+        if _oh_4d(tq):
+            oh_spec = pl.BlockSpec((n_head, pt, tq, d_v),
+                                   lambda i: (0, i, 0, 0),
+                                   memory_space=pltpu.VMEM)
+            oh_shape = jax.ShapeDtypeStruct((n_head, p, tq, d_v),
+                                            jnp.float32)
+        else:
+            oh_spec = pl.BlockSpec((n_head, pt * tq, d_v),
+                                   lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM)
+            oh_shape = jax.ShapeDtypeStruct((n_head, p * tq, d_v),
+                                            jnp.float32)
+        out_specs = [out_specs, oh_spec]
+        out_shape = [out_shape, oh_shape]
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -386,7 +412,7 @@ def _bwd_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
     tk = xkv.shape[1]
     xq2 = xq.reshape(p * tq, d)
     xkv2 = xkv.reshape(p * tk, d)
-    gp = _pair_group(p)
+    gp = _pair_group(p, tk)
     maskg = _pack_mask(mask_ref[:], gp, tq, tk)
     scale = 1.0 / (d_k ** 0.5)
     inv_keep = 1.0 / keep_prob
@@ -413,7 +439,7 @@ def _bwd_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
     o_heads = []
     u = jnp.zeros((p, tq, d_v), jnp.float32)
     for h in range(n_head):
-        oh = oh_ref[h].reshape(p, tq, d_v)
+        oh = oh_ref[h] if _oh_4d(tq) else oh_ref[h].reshape(p, tq, d_v)
         o_heads.append(oh)
         u = u + oh
 
@@ -600,9 +626,14 @@ def _fused_bwd_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
                      pl.BlockSpec((pt * tq, d), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)]
         operands += [attn_keep, out_keep]
-    in_specs.append(pl.BlockSpec((n_head, pt * tq, d_v),
-                                 lambda i: (0, i, 0),
-                                 memory_space=pltpu.VMEM))  # saved oh
+    if _oh_4d(tq):
+        in_specs.append(pl.BlockSpec((n_head, pt, tq, d_v),
+                                     lambda i: (0, i, 0, 0),
+                                     memory_space=pltpu.VMEM))  # saved oh
+    else:
+        in_specs.append(pl.BlockSpec((n_head, pt * tq, d_v),
+                                     lambda i: (0, i, 0),
+                                     memory_space=pltpu.VMEM))  # saved oh
     operands.append(oh_all)
     in_specs.append(per_pair(tq, d))                 # upstream cotangent
     operands.append(g)
@@ -838,27 +869,46 @@ def dropout_keep_masks(seed, p, tq, tk, d, *, n_head=8, keep_prob=0.9,
     step, seeded identically to _gen_attn_rows/_gen_out_rows, so the dump
     is tiling-independent."""
 
-    def kern(seed_ref, ak_ref, ok_ref):
+    def ak_kern(seed_ref, ak_ref):
         thresh = _keep_thresh(keep_prob)   # inside: no captured constants
         i = pl.program_id(0)
-        for h in range(n_head):
-            _seed2(seed_ref, _ATTN_TAG, h, i)
-            bits = pltpu.bitcast(pltpu.prng_random_bits((tq, tk)),
-                                 jnp.uint32)
-            ak_ref[h] = (bits < thresh).astype(jnp.float32)
+        h = pl.program_id(1)
+        _seed2(seed_ref, _ATTN_TAG, h, i)
+        bits = pltpu.bitcast(pltpu.prng_random_bits((tq, tk)), jnp.uint32)
+        ak_ref[0, 0] = (bits < thresh).astype(jnp.float32)
+
+    def ok_kern(seed_ref, ok_ref):
+        thresh = _keep_thresh(keep_prob)
+        i = pl.program_id(0)
         _seed2(seed_ref, _OUT_TAG, 0, i)
         bits = pltpu.bitcast(pltpu.prng_random_bits((tq, d)), jnp.uint32)
-        ok_ref[:] = (bits < thresh).astype(jnp.float32)
+        ok_ref[0] = (bits < thresh).astype(jnp.float32)
 
-    return pl.pallas_call(
-        kern,
-        grid=(p,),
+    # 4-D per-pair (and per-head, for ak) output blocks — full-size last
+    # two block dims are legal for any Tq, incl. the co-attention's
+    # unaligned 1900 — flattened to the head-major flat layouts afterwards;
+    # data placement is identical to a direct flat dump.  Two separate
+    # kernels with single-(pair,head) blocks keep the scoped-VMEM footprint
+    # ~Tq*max(Tk,D)*4 bytes regardless of head count (one joint kernel's
+    # per-pair block blew the 16 MB scoped-VMEM cap at the 1900-token
+    # co-attention shapes); seeding is per (tag, head, pair), so the split
+    # changes nothing about the values.
+    ak = pl.pallas_call(
+        ak_kern,
+        grid=(p, n_head),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[pl.BlockSpec((n_head, tq, tk), lambda i: (0, i, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((tq, d), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((n_head, p * tq, tk), jnp.float32),
-                   jax.ShapeDtypeStruct((p * tq, d), jnp.float32)],
+        out_specs=pl.BlockSpec((1, 1, tq, tk), lambda i, h: (h, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_head, p, tq, tk), jnp.float32),
         interpret=_rng_interpret(interpret),
     )(seed)
+    ok = pl.pallas_call(
+        ok_kern,
+        grid=(p,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, tq, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, tq, d), jnp.float32),
+        interpret=_rng_interpret(interpret),
+    )(seed)
+    return ak.reshape(n_head, p * tq, tk), ok.reshape(p * tq, d)

@@ -94,6 +94,26 @@ def is_tp_leaf(path) -> bool:
 
 
 def tp_psum_grads(grads: Any, tp_axis: str) -> Any:
-    """Reconstruct full grads from block-sparse shard grads (inside shard_map)."""
-    return jax.tree_util.tree_map_with_path(
-        lambda p, g: jax.lax.psum(g, tp_axis) if is_tp_leaf(p) else g, grads)
+    """Reconstruct full grads from block-sparse shard grads (inside shard_map).
+
+    The selected leaves ride ONE all-reduce per distinct dtype (raveled and
+    concatenated) rather than one per leaf — same per-element numerics,
+    O(1) collective latency (see parallel/sharded.py::fused_pmean).
+    """
+    import jax.numpy as jnp
+
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(grads)
+    out = [g for _, g in paths_leaves]
+    groups = {}
+    for i, (path, g) in enumerate(paths_leaves):
+        if is_tp_leaf(path):
+            groups.setdefault(jnp.asarray(g).dtype, []).append(i)
+    for idxs in groups.values():
+        flat = jnp.concatenate([jnp.asarray(out[i]).ravel() for i in idxs])
+        flat = jax.lax.psum(flat, tp_axis)
+        off = 0
+        for i in idxs:
+            n = out[i].size
+            out[i] = flat[off:off + n].reshape(jnp.shape(out[i]))
+            off += n
+    return jax.tree_util.tree_unflatten(treedef, out)

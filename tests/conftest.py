@@ -14,6 +14,14 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # XLA CPU aborts a collective whose participants straggle >40 s; on a
+    # 1-core host the 8 virtual devices execute serially, so the sharded
+    # step tests trip it under load.  Raise the bound (correctness gate,
+    # not a speed gate).
+    os.environ["XLA_FLAGS"] += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
 
 import jax
 

@@ -43,6 +43,6 @@ def test_dryrun_multichip_driver_env():
     proc = subprocess.run(
         [sys.executable, "-c",
          "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=580)
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1800)
     assert proc.returncode == 0, proc.stderr[-4000:]
-    assert "dryrun_multichip(8): ok" in proc.stdout
+    assert "dryrun_multichip(8): dp ok" in proc.stdout

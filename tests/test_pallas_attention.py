@@ -44,6 +44,49 @@ def test_kernel_matches_reference(mask_kind, dist):
                                rtol=1e-5)
 
 
+@pytest.mark.parametrize("tq,tk,pair_tile", [
+    (150, 64, 1),    # co-attention q2i shape class: long UNALIGNED queries
+    (64, 150, 1),    # co-attention i2q shape class: long unaligned keys
+    (150, 64, 2),    # multi-pair tile over long queries
+])
+def test_kernel_long_sequence_matches_reference(tq, tk, pair_tile):
+    """Long-sequence fusion (the co-attention MHAs: one side ~1900 tokens,
+    the other 64; rows not a multiple of the 8-sublane tile)."""
+    rng = np.random.RandomState(5)
+    h, dk, d, p = 4, 32, 128, 2
+    args = make_args(rng, p=p, tq=tq, tk=tk, d=d, h=h, dk=dk)
+    mask = jnp.ones((tq, tk), bool)
+    ref = _reference_impl(*args, mask, n_head=h, d_k=dk, d_v=dk,
+                          dist="softmax")
+    got = fused_sh_attention(*args, mask, n_head=h, d_k=dk, d_v=dk,
+                             pair_tile=pair_tile, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
+                               rtol=1e-5)
+
+
+def test_kernel_long_sequence_vjp_matches_reference_grad():
+    rng = np.random.RandomState(6)
+    h, dk, d, p, tq, tk = 4, 32, 128, 2, 100, 48
+    args = make_args(rng, p=p, tq=tq, tk=tk, d=d, h=h, dk=dk)
+    mask = jnp.ones((tq, tk), bool)
+
+    def via_kernel(*a):
+        return (fused_sh_attention(*a, mask, n_head=h, d_k=dk, d_v=dk,
+                                   pair_tile=1, interpret=True) ** 2).sum()
+
+    def via_ref(*a):
+        return (_reference_impl(*a, mask, n_head=h, d_k=dk, d_v=dk,
+                                dist="softmax") ** 2).sum()
+
+    g1 = jax.grad(via_kernel, argnums=tuple(range(10)))(*args)
+    g2 = jax.grad(via_ref, argnums=tuple(range(10)))(*args)
+    names = ["xq", "xkv", "wq", "wk", "wv", "skw", "skb", "fcw", "lns",
+             "lnb"]
+    for n, a, b in zip(names, g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
+                                   rtol=1e-3, err_msg=n)
+
+
 def make_keep_masks(rng, p=8, tq=64, tk=64, d=512, h=8, keep=0.9):
     # head-major flat layouts (see pallas_attention._reference_impl)
     return (jnp.asarray(rng.rand(h, p * tq, tk) < keep),

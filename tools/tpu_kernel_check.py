@@ -381,8 +381,79 @@ def posln_parity():
           f"worst rel err {worst:.2e}")
 
 
+def coatt_parity():
+    """Long-sequence fused attention (the co-attention MHAs): q2i — 1900
+    image tokens attending 64 query tokens — and i2q (reverse) at the
+    production 608x800 canvas shapes.  Eval fwd, train fwd/bwd with
+    in-kernel PRNG dropout vs the jnp reference fed the dumped masks."""
+    from ait_tpu.ops.pallas_attention import (_reference_impl,
+                                              dropout_keep_masks,
+                                              fused_sh_attention,
+                                              fused_sh_attention_rngdrop)
+
+    rng = np.random.RandomState(7)
+    d, h, dk, keep = 512, 8, 64, 0.9
+    seed = jnp.asarray([31337, -7], jnp.int32)
+    names = ["xq", "xkv", "wq", "wk", "wv", "skw", "skb", "fcw", "lns",
+             "lnb"]
+
+    for tag, (p, tq, tk) in {"q2i(1900x64)": (8, 1900, 64),
+                             "i2q(64x1900)": (8, 64, 1900)}.items():
+        def arr(*shape, scale=1.0):
+            return jnp.asarray(rng.randn(*shape) * scale, jnp.float32)
+
+        args = [arr(p, tq, d), arr(p, tk, d),
+                arr(d, h * dk, scale=0.02), arr(d, h * dk, scale=0.02),
+                arr(d, h * dk, scale=0.02), arr(dk, h * dk, scale=0.02),
+                arr(h * dk, scale=0.02), arr(dk, d, scale=0.02),
+                jnp.asarray(1.0 + 0.1 * rng.randn(d), jnp.float32),
+                jnp.asarray(0.1 * rng.randn(d), jnp.float32)]
+        mask = jnp.ones((tq, tk), bool)
+        pt = max(1, 2048 // max(tq, tk))   # what attention.py picks
+
+        t0 = time.time()
+        ref = np.asarray(jax.jit(lambda *a: _reference_impl(
+            *a, mask, n_head=h, d_k=dk, d_v=dk, dist="softmax"))(*args))
+        got = np.asarray(jax.jit(lambda *a: fused_sh_attention(
+            *a, mask, h, dk, dk, "softmax", pt))(*args))
+        err = np.abs(got - ref).max()
+        check(f"coatt {tag} eval fwd pallas~=ref", err < 2e-3,
+              f"max abs err {err:.2e}, {time.time() - t0:.1f}s incl. compile")
+
+        ak, ok = jax.jit(lambda s: dropout_keep_masks(
+            s, p, tq, tk, d, n_head=h, keep_prob=keep))(seed)
+        gott = np.asarray(jax.jit(lambda *a: fused_sh_attention_rngdrop(
+            *a, mask, seed, h, dk, dk, "softmax", keep, pt))(*args))
+        reft = np.asarray(jax.jit(lambda *a: _reference_impl(
+            *a, mask, ak, ok, n_head=h, d_k=dk, d_v=dk, dist="softmax",
+            keep_prob=keep))(*args))
+        err = np.abs(gott - reft).max()
+        check(f"coatt {tag} train fwd == ref(dumped masks)", err < 2e-3,
+              f"max abs err {err:.2e}")
+
+        def via_kernel(*a):
+            return (fused_sh_attention_rngdrop(
+                *a, mask, seed, h, dk, dk, "softmax", keep, pt) ** 2).sum()
+
+        def via_ref(*a):
+            return (_reference_impl(*a, mask, ak, ok, n_head=h, d_k=dk,
+                                    d_v=dk, dist="softmax",
+                                    keep_prob=keep) ** 2).sum()
+
+        g1 = jax.jit(jax.grad(via_kernel, argnums=tuple(range(10))))(*args)
+        g2 = jax.jit(jax.grad(via_ref, argnums=tuple(range(10))))(*args)
+        worst = 0.0
+        for a, b in zip(g1, g2):
+            a, b = np.asarray(a), np.asarray(b)
+            worst = max(worst, float(np.abs(a - b).max() /
+                                     max(np.abs(b).max(), 1e-6)))
+        check(f"coatt {tag} train bwd == ref-grad(dumped masks)",
+              worst < 5e-3, f"worst rel err {worst:.2e}")
+
+
 CHECKS = {"nms": nms_parity, "aligned_k": aligned_k,
           "attention": attention_parity, "rng_dropout": rng_dropout_parity,
+          "coatt": coatt_parity,
           "ffn": ffn_parity, "posln": posln_parity,
           "sharded": sharded_step_n1}
 
