@@ -43,7 +43,7 @@ except ImportError:  # pragma: no cover
         return _shard_map_legacy(f, mesh=mesh, in_specs=in_specs,
                                  out_specs=out_specs, check_rep=False)
 
-from ait_tpu.train.state import TrainState, batch_tuple
+from ait_tpu.train.state import TrainState, batch_tuple, grads_and_metrics
 
 
 def fused_pmean(tree, axis):
@@ -77,7 +77,8 @@ def fused_pmean(tree, axis):
 
 def make_sharded_train_step(model, tx: optax.GradientTransformation,
                             mesh: Mesh, axis: str = "data",
-                            tp_axis: str = None) -> Callable:
+                            tp_axis: str = None,
+                            accum_steps: int = 1) -> Callable:
     """train_step(state, batch, rng) -> (state, metrics), shard_mapped.
 
     state/rng replicated, batch sharded on dim 0 over `axis`; outputs
@@ -100,33 +101,16 @@ def make_sharded_train_step(model, tx: optax.GradientTransformation,
             # fold the DATA shard id only: dropout/sampling draws must agree
             # across tp shards (they act on tensors replicated over tp_axis)
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
-        drop, samp = jax.random.split(jax.random.fold_in(rng, state.step))
-
-        def loss_fn(params):
-            out = model.apply({"params": params}, *batch_tuple(batch),
-                              train=True,
-                              rngs={"dropout": drop, "sampling": samp})
-            return out.total_loss, out
-
-        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+        grads, metrics = grads_and_metrics(
+            model, state.params, batch,
+            jax.random.fold_in(rng, state.step), accum_steps)
         if tp_axis is not None:
             grads = tp_psum_grads(grads, tp_axis)
-        fg_cnt = jnp.sum(out.rois_label != 0)
-        bg_cnt = out.rois_label.size - fg_cnt
-        metrics = {
-            "loss": loss,
-            "rpn_cls": out.rpn_loss_cls,
-            "rpn_box": out.rpn_loss_box,
-            "rcnn_cls": out.rcnn_loss_cls,
-            "margin": out.margin_loss,
-            "rcnn_box": out.rcnn_loss_bbox,
+        if n_shards > 1:
             # counts are SUMS across shards: f32 (exact for < 2^24) and
             # pre-multiplied by n so the fused pmean below yields the psum
-            "fg_cnt": jnp.float32(fg_cnt) * n_shards,
-            "bg_cnt": jnp.float32(bg_cnt) * n_shards,
-        }
-        if n_shards > 1:
+            metrics["fg_cnt"] = jnp.float32(metrics["fg_cnt"]) * n_shards
+            metrics["bg_cnt"] = jnp.float32(metrics["bg_cnt"]) * n_shards
             # DataParallel's gather + .mean() (trainval_net_voc.py:391-395),
             # fused with the metric reductions into O(1) all-reduces
             grads, metrics = fused_pmean((grads, metrics), axis)

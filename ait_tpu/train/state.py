@@ -55,34 +55,92 @@ def init_params(model: AITDetector, cfg: Config, rng, *, batch=None):
     return variables["params"]
 
 
-def make_train_step(model: AITDetector, tx: optax.GradientTransformation
-                    ) -> Callable:
-    """Returns train_step(state, batch, rng) -> (state, metrics)."""
+def grads_and_metrics(model: AITDetector, params, batch, rng,
+                      accum_steps: int = 1):
+    """(grads, metrics) for one optimizer step, optionally microbatched.
 
-    def train_step(state: TrainState, batch, rng):
-        drop, samp = jax.random.split(jax.random.fold_in(rng, state.step))
+    With accum_steps == A > 1 the [B, ...] batch is processed as A
+    microbatches of B/A under `lax.scan`, so peak activation memory is one
+    microbatch deep while the optimizer sees the same effective batch — how
+    a reference-recipe batch trains when it doesn't fit HBM (the reference
+    has no equivalent; its batch is bounded by GPU count).  Grads are the
+    mean over microbatches == the grad of the mean loss over the full
+    batch; metrics: losses mean, fg/bg counts sum.  Each microbatch folds
+    its index into the rng so dropout/sampling decorrelate.  A == 1 keeps
+    the original single-pass program (the n=1 bitwise-parity gates ride on
+    that).
+    """
 
-        def loss_fn(params):
-            out = model.apply({"params": params}, *batch_tuple(batch),
-                              train=True,
-                              rngs={"dropout": drop, "sampling": samp})
-            return out.total_loss, out
+    def loss_fn(p, b, drop, samp):
+        out = model.apply({"params": p}, *batch_tuple(b), train=True,
+                          rngs={"dropout": drop, "sampling": samp})
+        return out.total_loss, out
 
-        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+    def stats(loss, out):
         fg_cnt = jnp.sum(out.rois_label != 0)
-        metrics = {
+        return {
             "loss": loss,
             "rpn_cls": out.rpn_loss_cls,
             "rpn_box": out.rpn_loss_box,
             "rcnn_cls": out.rcnn_loss_cls,
             "margin": out.margin_loss,
             "rcnn_box": out.rcnn_loss_bbox,
-            "fg_cnt": fg_cnt,
-            "bg_cnt": out.rois_label.size - fg_cnt,
+            "fg_cnt": jnp.float32(fg_cnt) * accum_steps,
+            "bg_cnt": jnp.float32(out.rois_label.size - fg_cnt) *
+            accum_steps,
         }
+
+    if accum_steps == 1:
+        drop, samp = jax.random.split(rng)
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, drop, samp)
+        m = stats(loss, out)
+        # single-pass metrics keep their historical dtypes/scale
+        fg = jnp.sum(out.rois_label != 0)
+        m["fg_cnt"], m["bg_cnt"] = fg, out.rois_label.size - fg
+        return grads, m
+
+    def micro(x):
+        b = x.shape[0] // accum_steps
+        assert x.shape[0] == b * accum_steps, (
+            f"batch {x.shape[0]} not divisible by accum_steps={accum_steps}")
+        return x.reshape((accum_steps, b) + x.shape[1:])
+
+    mbatch = jax.tree_util.tree_map(micro, batch)
+
+    def one(carry, xs):
+        gsum, msum = carry
+        b, i = xs
+        drop, samp = jax.random.split(jax.random.fold_in(rng, i))
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, b, drop, samp)
+        gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+        msum = jax.tree_util.tree_map(jnp.add, msum, stats(loss, out))
+        return (gsum, msum), None
+
+    zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+    zero_m = {k: jnp.zeros((), jnp.float32)
+              for k in ("loss", "rpn_cls", "rpn_box", "rcnn_cls", "margin",
+                        "rcnn_box", "fg_cnt", "bg_cnt")}
+    (gsum, msum), _ = jax.lax.scan(
+        one, (zero_g, zero_m),
+        (mbatch, jnp.arange(accum_steps, dtype=jnp.int32)))
+    inv = 1.0 / accum_steps
+    grads = jax.tree_util.tree_map(lambda g: g * inv, gsum)
+    metrics = {k: v * inv for k, v in msum.items()}
+    return grads, metrics
+
+
+def make_train_step(model: AITDetector, tx: optax.GradientTransformation,
+                    accum_steps: int = 1) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, metrics)."""
+
+    def train_step(state: TrainState, batch, rng):
+        grads, metrics = grads_and_metrics(
+            model, state.params, batch,
+            jax.random.fold_in(rng, state.step), accum_steps)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
         return state.replace(step=state.step + 1, params=params,
                              opt_state=opt_state), metrics
 

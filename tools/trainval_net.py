@@ -65,6 +65,9 @@ def parse_args(argv=None):
     p.add_argument("--g", dest="group", type=int, default=0)
     p.add_argument("--seen", type=int, default=1)
     p.add_argument("--bs", dest="batch_size", type=int, default=8)
+    # TPU extension: process the batch as N sequential microbatches per
+    # optimizer step (same effective batch, 1/N the activation memory)
+    p.add_argument("--grad_accum", type=int, default=1)
     p.add_argument("--cag", dest="class_agnostic", default=True)
     p.add_argument("--o", dest="optimizer", default="sgd",
                    choices=["sgd", "adam"])
@@ -231,15 +234,25 @@ def main(argv=None):
             start_epoch = latest // steps_per_epoch + 1
             printer(f"Resumed from step {latest} -> epoch {start_epoch}")
 
+    accum = args.grad_accum
+    if accum > 1 and args.batch_size % (n_use * accum) != 0:
+        raise SystemExit(
+            f"--grad_accum {accum}: batch {args.batch_size} must split into "
+            f"{n_use} device shard(s) x {accum} microbatches")
+    if accum > 1:
+        printer(f"Gradient accumulation: {accum} microbatches of "
+                f"{args.batch_size // (n_use * accum)}/device per step")
     if mesh.devices.size > 1:
         # shard_map over the data axis: runs the Pallas kernels on the
         # LOCAL batch shard (GSPMD would replicate+all-gather them,
         # ait_tpu/parallel/sharded.py docstring)
         from ait_tpu.parallel import make_sharded_train_step
-        step_fn = jax.jit(make_sharded_train_step(model, tx, mesh),
+        step_fn = jax.jit(make_sharded_train_step(model, tx, mesh,
+                                                  accum_steps=accum),
                           donate_argnums=0)
     else:
-        step_fn = jax.jit(make_train_step(model, tx), donate_argnums=0)
+        step_fn = jax.jit(make_train_step(model, tx, accum_steps=accum),
+                          donate_argnums=0)
     rng = jax.random.PRNGKey(cfg.RNG_SEED + args.session)
 
     meters = {k: AverageMeter() for k in
