@@ -18,6 +18,7 @@ from ait_tpu.train.state import grads_and_metrics
 from tests.test_sharded_step import make_state, tiny_batch, tiny_setup
 
 
+@pytest.mark.slow
 def test_accum_grads_equal_mean_of_microbatch_grads():
     cfg, model = tiny_setup()
     batch = tiny_batch(4)

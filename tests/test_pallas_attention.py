@@ -64,6 +64,7 @@ def test_kernel_long_sequence_matches_reference(tq, tk, pair_tile):
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_kernel_long_sequence_vjp_matches_reference_grad():
     rng = np.random.RandomState(6)
     h, dk, d, p, tq, tk = 4, 32, 128, 2, 100, 48
@@ -106,6 +107,7 @@ def test_dropout_kernel_matches_reference():
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_dropout_kernel_vjp_matches_reference_grad():
     rng = np.random.RandomState(3)
     args = make_args(rng, p=4)
@@ -129,6 +131,7 @@ def test_dropout_kernel_vjp_matches_reference_grad():
                                    rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_kernel_vjp_matches_reference_grad():
     """Fused backward kernel vs autodiff-of-reference, every cotangent."""
     rng = np.random.RandomState(1)
@@ -151,6 +154,7 @@ def test_kernel_vjp_matches_reference_grad():
                                    rtol=1e-3, err_msg=n)
 
 
+@pytest.mark.slow
 def test_dropout_kernel_vjp_all_cotangents():
     rng = np.random.RandomState(4)
     args = make_args(rng, p=4)

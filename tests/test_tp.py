@@ -52,6 +52,7 @@ def _transformer_fixture():
     return params, props, query
 
 
+@pytest.mark.slow
 def test_tp_transformer_forward_matches_replicated():
     params, props, query = _transformer_fixture()
     ref = _transformer(1).apply({"params": params}, props, query,
@@ -67,6 +68,7 @@ def test_tp_transformer_forward_matches_replicated():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_tp_grads_match_replicated_every_leaf():
     params, props, query = _transformer_fixture()
 

@@ -52,6 +52,7 @@ def converted():
     return vgg, convert_vgg_backbone(vgg.state_dict())
 
 
+@pytest.mark.slow
 def test_backbone_forward_parity(converted, rng):
     vgg, tree = converted
     x = rng.randn(1, 64, 64, 3).astype(np.float32)
@@ -65,6 +66,7 @@ def test_backbone_forward_parity(converted, rng):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_top_forward_parity(converted, rng):
     vgg, tree = converted
     x = rng.randn(3, 7, 7, 512).astype(np.float32)
@@ -79,6 +81,7 @@ def test_top_forward_parity(converted, rng):
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_conversion_coverage(converted):
     _, tree = converted
     params = VGGBackbone().init(
