@@ -33,8 +33,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 REFERENCE_PAIRS_PER_SEC_PER_CHIP = 8 / 1.088 / 4  # forward-only, see above
 
 BATCH = 8
-WARMUP = 2
-ITERS = 10
+WARMUP = 3
+ITERS = 30
 
 
 def main():

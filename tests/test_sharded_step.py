@@ -102,3 +102,33 @@ def test_sharded_step_n1_bitwise_matches_plain_jit():
     flat_s = jax.tree_util.tree_leaves(s_shard.params)
     for a, b in zip(flat_p, flat_s):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_sharded_eval_step_matches_per_image_eval():
+    """8-way batch-sharded eval == a loop of single-image evals: the local
+    shard program IS the b=1 program, so the results must agree to f32
+    noise.  (A b=8 single-device eval is NOT the comparison point — XLA
+    reduces b=8 and b=1 programs differently and the tiny score
+    differences flip NMS keep-ties, legitimately changing some proposal
+    slots; the same is true of the reference under DataParallel.)"""
+    from ait_tpu.parallel import make_mesh, make_sharded_eval_step, \
+        shard_batch
+    from ait_tpu.train import make_eval_step
+
+    cfg, model = tiny_setup()
+    mesh = make_mesh(8)
+    batch = tiny_batch(8)
+    _, state = make_state(cfg, model, batch)
+
+    ev1 = jax.jit(make_eval_step(model))
+    per_image = [ev1(state.params,
+                     jax.tree_util.tree_map(lambda x: x[i:i + 1], batch))
+                 for i in range(8)]
+    plain = {k: np.concatenate([np.asarray(p[k]) for p in per_image])
+             for k in per_image[0]}
+    sharded = jax.jit(make_sharded_eval_step(model, mesh))(
+        state.params, shard_batch(batch, mesh))
+    for k in plain:
+        np.testing.assert_allclose(np.asarray(sharded[k]), plain[k],
+                                   rtol=2e-5, atol=2e-5, err_msg=k)
