@@ -65,3 +65,17 @@ def test_trainval_cli_and_resume(tmp_path):
     cli.main(_argv(tmp_path, epochs=2, resume=True))
     ckpts2 = sorted(os.listdir(os.path.join(run_dir, "ckpt")))
     assert len(ckpts2) >= len(ckpts)
+
+
+@pytest.mark.slow
+def test_trainval_cli_grad_accum(tmp_path):
+    """--grad_accum 2 trains end to end (bs 2 -> 2 microbatches of 1)."""
+    import trainval_net as cli
+
+    make_voc_devkit(str(tmp_path / "VOCdevkit2007"), image_set="trainval")
+    cli.main(_argv(tmp_path, epochs=1) + ["--grad_accum", "2"])
+    run_dir = os.path.join(str(tmp_path / "models"), "res50", "pascal_voc",
+                           "1.0.0")
+    metrics = glob.glob(os.path.join(run_dir, "logs", "*.jsonl"))
+    rows = [json.loads(l) for l in open(metrics[0])]
+    assert rows and all(np.isfinite(r["loss"]) for r in rows if "loss" in r)

@@ -214,13 +214,20 @@ def main(argv=None):
     state = TrainState.create(params, tx)
 
     # data-parallel mesh over at most batch_size devices (the batch must
-    # split evenly, like DataParallel's scatter)
+    # split evenly, like DataParallel's scatter; with --grad_accum A each
+    # device shard must further split into A microbatches)
     n_dev = jax.device_count()
-    n_use = max(d for d in range(1, n_dev + 1) if args.batch_size % d == 0)
+    if args.batch_size % args.grad_accum != 0:
+        raise SystemExit(
+            f"--grad_accum {args.grad_accum}: batch {args.batch_size} "
+            "must be divisible by the microbatch count")
+    n_use = max(d for d in range(1, n_dev + 1)
+                if args.batch_size % (d * args.grad_accum) == 0)
     mesh = make_mesh(n_use)
     if n_use != n_dev:
         printer(f"Using {n_use}/{n_dev} devices (batch {args.batch_size} "
-                "must split evenly)", c="yellow")
+                f"must split into shards x {args.grad_accum} microbatches)",
+                c="yellow")
     printer(f"Mesh: {mesh.devices.size} device(s) on axis "
             f"{cfg.tpu.mesh_axes}")
     state = replicate(state, mesh)
@@ -235,10 +242,6 @@ def main(argv=None):
             printer(f"Resumed from step {latest} -> epoch {start_epoch}")
 
     accum = args.grad_accum
-    if accum > 1 and args.batch_size % (n_use * accum) != 0:
-        raise SystemExit(
-            f"--grad_accum {accum}: batch {args.batch_size} must split into "
-            f"{n_use} device shard(s) x {accum} microbatches")
     if accum > 1:
         printer(f"Gradient accumulation: {accum} microbatches of "
                 f"{args.batch_size // (n_use * accum)}/device per step")
