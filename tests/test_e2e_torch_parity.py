@@ -151,9 +151,13 @@ def _fit_params(template, converted):
     return {k: _fit_params(template[k], converted[k]) for k in template}
 
 
-def test_full_detector_eval_forward_parity():
+@pytest.mark.parametrize("flavor", ["voc", "coco"])
+def test_full_detector_eval_forward_parity(flavor):
     _install_shims()
-    from model.faster_rcnn.resnet_sys_transformer_sk_dilat import resnet
+    if flavor == "voc":
+        from model.faster_rcnn.resnet_sys_transformer_sk_dilat import resnet
+    else:  # COCO model: non-local co-attention instead of the MHA pair
+        from model.faster_rcnn.resnet_coatt_transformer_sk import resnet
     from model.utils.config import cfg as ref_cfg
 
     from ait_tpu.config import Config
@@ -185,6 +189,11 @@ def test_full_detector_eval_forward_parity():
 
     cfg = Config()  # defaults ARE the VOC flavor (mha co-attention,
     #                 faithful sk gate, causal mask, softmax dist)
+    if flavor == "coco":
+        import dataclasses
+
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, coattention="nonlocal"))
     model = AITDetector(cfg, dtype=jnp.float32)
     template = init_params(model, cfg, jax.random.PRNGKey(0))
     params = _fit_params(template, convert_detector(ref.state_dict()))
