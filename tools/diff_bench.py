@@ -13,6 +13,17 @@ Modes:
   no_topk     proposal layer's pre-NMS top-k replaced by a static slice
               (prices the 22800 -> 12000 sort)
   pre6000     TRAIN.RPN_PRE_NMS_TOP_N=6000 (top-k + NMS at half candidates)
+  no_ait      AIT transformer replaced by identity pad-to-query-grid
+              (prices the enc-dec head fwd+bwd)
+  no_sk       SKNet replaced by identity (prices both SK blocks fwd+bwd)
+  no_top      ResNetTop (layer4 on 1024 rois + query) replaced by a mean
+              pool (prices the heaviest per-roi conv stack fwd+bwd)
+  no_roialign roi_align replaced by a static corner crop broadcast
+              (prices the interpolation-matrix contractions fwd+bwd)
+  no_targets  anchor/proposal target layers replaced by zero tensors
+              (prices the fixed-shape target assignment, fwd-only graph)
+  frozen_bb   stop_gradient after both backbone applies (prices the
+              backbone backward pass)
 
 Usage: python tools/diff_bench.py --mode base no_coatt det_coatt
 """
@@ -92,6 +103,76 @@ def _apply_mode(mode: str, cfg):
     if mode == "pre6000":
         return cfg.replace(TRAIN=dataclasses.replace(
             cfg.TRAIN, RPN_PRE_NMS_TOP_N=6000))
+
+    import flax.linen as nn
+    import jax.numpy as jnp
+    import ait_tpu.models.detector as det_mod
+
+    if mode == "no_ait":
+        class _IdT(nn.Module):
+            def __call__(self, props, qry, deterministic=True):
+                pad = qry.shape[1] - props.shape[1]
+                return jnp.pad(
+                    props, ((0, 0), (0, pad), (0, pad), (0, 0)))
+
+        det_mod.AITTransformer = lambda **kw: _IdT()
+        return cfg
+    if mode == "no_sk":
+        class _IdSK(nn.Module):
+            def __call__(self, props, qry):
+                return props, qry
+
+        det_mod.SKNet = lambda ch, gate, dtype: _IdSK()
+        return cfg
+    if mode == "no_top":
+        class _MeanTop(nn.Module):
+            def __call__(self, x, deterministic=True):
+                m = x.mean(axis=(1, 2))
+                return jnp.concatenate([m, m], axis=-1)  # C=1024 -> 2048
+
+        det_mod.ResNetTop = lambda name, dtype: _MeanTop()
+        return cfg
+    if mode == "no_roialign":
+        def fake_align(feat, boxes, *, out_size, spatial_scale,
+                       sampling_ratio=0):
+            b, r = boxes.shape[0], boxes.shape[1]
+            crop = feat[:, :out_size, :out_size, :]
+            return jnp.broadcast_to(
+                crop[:, None], (b, r) + crop.shape[1:])
+
+        det_mod.roi_align = fake_align
+        return cfg
+    if mode == "no_targets":
+        import ait_tpu.models.targets as tgt_mod
+
+        def fake_at(anchors, gt_boxes, im_info, key, **kw):
+            bsz, n = gt_boxes.shape[0], anchors.shape[0]
+            z = jnp.zeros
+            return tgt_mod.AnchorTargets(
+                z((bsz, n), jnp.int32), z((bsz, n, 4)), z((bsz, n, 4)),
+                z((bsz, n, 4)))
+
+        def fake_pt(rois, gt_boxes, key, *, rois_per_image=128, **kw):
+            bsz, r = rois.shape[0], rois_per_image
+            z = jnp.zeros
+            return tgt_mod.ProposalTargets(
+                rois[:, :r], z((bsz, r), jnp.int32), z((bsz, r, 4)),
+                z((bsz, r, 4)), z((bsz, r, 4)))
+
+        det_mod.anchor_targets = fake_at
+        det_mod.proposal_targets = fake_pt
+        return cfg
+    if mode == "frozen_bb":
+        import ait_tpu.models.resnet as rn_mod
+
+        orig_call = rn_mod.ResNetBackbone.__call__
+
+        def frozen_call(self, x, return_stages=False):
+            out = orig_call(self, x, return_stages=return_stages)
+            return jax.tree_util.tree_map(jax.lax.stop_gradient, out)
+
+        rn_mod.ResNetBackbone.__call__ = frozen_call
+        return cfg
     raise ValueError(mode)
 
 
