@@ -188,9 +188,15 @@ class MultiHeadAttention(nn.Module):
             # for the short-sequence (Tq<=128) shapes; the long-seq path
             # trains via in-kernel PRNG dropout instead
             fuse_long = False
+        # the fused kernel takes ONE [lq, lk] mask for the whole pair batch;
+        # only fuse when the mask is statically batch-invariant (leading dim
+        # 1 — true of AIT's pad/causal masks, ait_transformer.py:144-148).
+        # A per-example mask (batch dim > 1) falls through to the jnp
+        # reference branch below, which applies it per example.
         fuse = (self.use_pallas and self.n_head > 1 and
                 self.dist == "softmax" and
                 k is v and (fuse_short or fuse_long) and
+                (mask is None or mask.shape[0] == 1) and
                 (deterministic or self.use_pallas_train or
                  self.dropout == 0.0))
         if fuse:

@@ -68,6 +68,35 @@ def test_trainval_cli_and_resume(tmp_path):
 
 
 @pytest.mark.slow
+def test_trainval_cli_tensor_parallel(tmp_path):
+    """--set tpu.tp_size 2 builds a (data, model) mesh end to end.
+
+    The round-2 footgun (tp_size honored by the model but never by the CLI
+    mesh -> axis_index on a missing axis) is closed: on the 8-device virtual
+    mesh this trains with dp=2 x tp=2 and finite losses.
+    """
+    import trainval_net as cli
+
+    make_voc_devkit(str(tmp_path / "VOCdevkit2007"), image_set="trainval")
+    cli.main(_argv(tmp_path, epochs=1) + ["--set", "tpu.tp_size", "2"])
+    run_dir = os.path.join(str(tmp_path / "models"), "res50", "pascal_voc",
+                           "1.0.0")
+    metrics = glob.glob(os.path.join(run_dir, "logs", "*.jsonl"))
+    rows = [json.loads(l) for l in open(metrics[0])]
+    assert rows and all(np.isfinite(r["loss"]) for r in rows if "loss" in r)
+
+
+def test_trainval_cli_tp_misconfig_raises(tmp_path):
+    """tp_size that does not divide the head count fails fast with a clear
+    message instead of crashing inside the mesh program."""
+    import trainval_net as cli
+
+    make_voc_devkit(str(tmp_path / "VOCdevkit2007"), image_set="trainval")
+    with pytest.raises(SystemExit, match="tp_size"):
+        cli.main(_argv(tmp_path, epochs=1) + ["--set", "tpu.tp_size", "3"])
+
+
+@pytest.mark.slow
 def test_trainval_cli_grad_accum(tmp_path):
     """--grad_accum 2 trains end to end (bs 2 -> 2 microbatches of 1)."""
     import trainval_net as cli

@@ -81,8 +81,9 @@ def parse_args(argv=None):
     p.add_argument("--version", default="1.0.0")
     p.add_argument("--ls", dest="large_scale", action="store_true")
     p.add_argument("--pretrained", default=None,
-                   help="path to a converted backbone/model params .npz "
-                        "(tools/convert_torch_checkpoint.py)")
+                   help="path to a converted backbone/model params pickle "
+                        "(nested dict of arrays, the output of "
+                        "tools/convert_torch_checkpoint.py)")
     p.add_argument("--debug", action="store_true",
                    help="truncate to 5 iters/epoch")
     p.add_argument("--set", dest="set_cfgs", nargs="*", default=[],
@@ -187,21 +188,54 @@ def main(argv=None):
         printer(f"jax.distributed initialized: process "
                 f"{jax.process_index()}/{jax.process_count()}")
     cfg = build_config(args)
+    # fail fast on tensor-parallel misconfiguration (before any data/model
+    # work): tp must divide the device count, the attention head count and
+    # the FFN hidden width (Megatron sharding, parallel/tp.py)
+    n_dev = jax.device_count()
+    tp = int(cfg.tpu.tp_size)
+    if tp > 1:
+        if n_dev % tp != 0 or n_dev < tp:
+            raise SystemExit(
+                f"tpu.tp_size {tp}: needs a device count divisible by it, "
+                f"have {n_dev}")
+        if cfg.model.t_n_head % tp or cfg.model.t_d_inner % tp:
+            raise SystemExit(
+                f"tpu.tp_size {tp} must divide t_n_head "
+                f"({cfg.model.t_n_head}) and t_d_inner "
+                f"({cfg.model.t_d_inner})")
     np.random.seed(cfg.RNG_SEED)
 
     view = build_view(args, cfg)
     printer(f"{len(view.records)} roidb entries (pre-augment)")
-    loader = OneShotLoader(view, cfg, training=True)
+    # per-host input pipeline (SURVEY §2.10): on a pod each host decodes only
+    # its 1/process_count slice of every global batch; epoch order and batch
+    # membership stay host-invariant inside the loader
+    loader = OneShotLoader(view, cfg, training=True,
+                           process_index=jax.process_index(),
+                           process_count=jax.process_count())
     printer(f"{len(loader)} training records after flip+filter")
 
     output_dir = os.path.join(args.save_dir, args.net, args.dataset,
                               args.version)
     os.makedirs(output_dir, exist_ok=True)
     save_config(output_dir, cfg)
-    writer = MetricWriter(os.path.join(output_dir, "logs"))
+    # one metrics stream per run: secondary pod hosts skip the writer (a
+    # shared filesystem would interleave identical rows); orbax checkpoint
+    # saves stay collective — every process must participate
+    writer = (MetricWriter(os.path.join(output_dir, "logs"))
+              if jax.process_index() == 0 else None)
 
     model = AITDetector(cfg, dtype=jnp.bfloat16)
-    params = init_params(model, cfg, jax.random.PRNGKey(cfg.RNG_SEED))
+    # params are laid out identically under tensor parallelism (heads are
+    # sharded at COMPUTE time inside shard_map, not in storage), but the tp
+    # model's in-model collectives need the 'model' axis, which only exists
+    # inside the sharded step — so initialize with a tp=1 twin of the config
+    if int(cfg.tpu.tp_size) > 1:
+        cfg_init = cfg.replace(tpu=dataclasses.replace(cfg.tpu, tp_size=1))
+        init_model = AITDetector(cfg_init, dtype=jnp.bfloat16)
+    else:
+        init_model = model
+    params = init_params(init_model, cfg, jax.random.PRNGKey(cfg.RNG_SEED))
     if args.pretrained:
         params = load_pretrained(params, args.pretrained)
 
@@ -215,21 +249,27 @@ def main(argv=None):
 
     # data-parallel mesh over at most batch_size devices (the batch must
     # split evenly, like DataParallel's scatter; with --grad_accum A each
-    # device shard must further split into A microbatches)
-    n_dev = jax.device_count()
+    # device shard must further split into A microbatches).  With
+    # --set tpu.tp_size T > 1 the mesh gains a 'model' axis of size T and
+    # attention heads / FFN hidden units shard Megatron-style (parallel/tp.py)
     if args.batch_size % args.grad_accum != 0:
         raise SystemExit(
             f"--grad_accum {args.grad_accum}: batch {args.batch_size} "
             "must be divisible by the microbatch count")
-    n_use = max(d for d in range(1, n_dev + 1)
-                if args.batch_size % (d * args.grad_accum) == 0)
-    mesh = make_mesh(n_use)
+    dp_max = n_dev // tp
+    dp = max(d for d in range(1, dp_max + 1)
+             if args.batch_size % (d * args.grad_accum) == 0)
+    n_use = dp * tp
+    if tp > 1:
+        mesh = make_mesh(n_use, axes=("data", cfg.tpu.tp_axis),
+                         shape=(dp, tp))
+    else:
+        mesh = make_mesh(n_use)
     if n_use != n_dev:
         printer(f"Using {n_use}/{n_dev} devices (batch {args.batch_size} "
                 f"must split into shards x {args.grad_accum} microbatches)",
                 c="yellow")
-    printer(f"Mesh: {mesh.devices.size} device(s) on axis "
-            f"{cfg.tpu.mesh_axes}")
+    printer(f"Mesh: {dict(mesh.shape)}")
     state = replicate(state, mesh)
 
     ckpt = CheckpointManager(os.path.join(output_dir, "ckpt"))
@@ -250,9 +290,10 @@ def main(argv=None):
         # LOCAL batch shard (GSPMD would replicate+all-gather them,
         # ait_tpu/parallel/sharded.py docstring)
         from ait_tpu.parallel import make_sharded_train_step
-        step_fn = jax.jit(make_sharded_train_step(model, tx, mesh,
-                                                  accum_steps=accum),
-                          donate_argnums=0)
+        step_fn = jax.jit(make_sharded_train_step(
+            model, tx, mesh, accum_steps=accum,
+            tp_axis=cfg.tpu.tp_axis if tp > 1 else None),
+            donate_argnums=0)
     else:
         step_fn = jax.jit(make_train_step(model, tx, accum_steps=accum),
                           donate_argnums=0)
@@ -295,9 +336,10 @@ def main(argv=None):
                     f"fg/bg {int(metrics['fg_cnt'])}/"
                     f"{int(metrics['bg_cnt'])} "
                     f"| {sps:.2f} it/s, {pps:.1f} pairs/s")
-                writer.write(step, {k: m.avg for k, m in meters.items()})
-                writer.write(step, {"steps_per_sec": sps,
-                                    "pairs_per_sec": pps}, prefix="perf")
+                if writer is not None:
+                    writer.write(step, {k: m.avg for k, m in meters.items()})
+                    writer.write(step, {"steps_per_sec": sps,
+                                        "pairs_per_sec": pps}, prefix="perf")
             step = int(jax.device_get(state.step))
             if step % args.checkpoint_interval == 0:
                 ckpt.save(step, jax.device_get(state),
@@ -308,7 +350,8 @@ def main(argv=None):
                   force=True)
         printer(f"Saved checkpoint at epoch {epoch}, step {step}")
     ckpt.wait()
-    writer.close()
+    if writer is not None:
+        writer.close()
     printer("Training done.")
 
 
