@@ -1,6 +1,14 @@
 """Headline benchmark: query-target pairs/sec/chip, full training step.
 
-One JSON line: {"metric", "value", "unit", "vs_baseline"}.
+One JSON line: {"metric", "value", "unit", "vs_baseline", "gate"}.
+
+On real TPU the on-device kernel parity gate (tools/tpu_kernel_check.py:
+Pallas NMS bit-equality, fused-attention fwd/bwd tolerance, shard_map==jit)
+runs FIRST and a FAIL refuses to print a headline number — a kernel
+regression can never produce a recorded benchmark.  `--no-gate` (or
+AIT_BENCH_NO_GATE=1) skips it for local timing loops; a gate TIMEOUT
+(cold Mosaic compiles through the axon tunnel can take many minutes) is
+recorded as "timeout" rather than blocking the measurement.
 
 Baseline derivation (BASELINE.md / SURVEY.md §6): the reference's own code
 comments record a ~1.088s *forward-only* training step at bs=8 over 4 GPUs
@@ -35,9 +43,39 @@ REFERENCE_PAIRS_PER_SEC_PER_CHIP = 8 / 1.088 / 4  # forward-only, see above
 BATCH = 8
 WARMUP = 3
 ITERS = 30
+GATE_TIMEOUT_S = 2400
 
 
-def main():
+def run_gate() -> str:
+    """Run the on-device kernel parity gate; 'pass' | 'skipped' | 'timeout'.
+
+    Exits the process (no headline line) if any kernel check FAILs.
+    """
+    import subprocess
+    import sys
+
+    if os.environ.get("AIT_BENCH_NO_GATE") == "1":
+        return "skipped"
+    if jax.devices()[0].platform != "tpu":
+        return "skipped"  # the gate asserts REAL-chip Mosaic lowering
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "tpu_kernel_check.py")
+    try:
+        proc = subprocess.run([sys.executable, script],
+                              timeout=GATE_TIMEOUT_S,
+                              stdout=sys.stderr, stderr=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print("kernel gate timed out (cold Mosaic compiles); benching "
+              "anyway, gate recorded as timeout", file=sys.stderr)
+        return "timeout"
+    if proc.returncode != 0:
+        print("kernel parity gate FAILED - refusing to record a benchmark",
+              file=sys.stderr)
+        raise SystemExit(1)
+    return "pass"
+
+
+def main(gate: bool = True):
     from __graft_entry__ import _batch, _flagship, _init_params
     from ait_tpu.train import (TrainState, lr_schedule, make_optimizer,
                                make_train_step)
@@ -46,6 +84,8 @@ def main():
     import numpy as np
 
     from ait_tpu.data.transforms import space_to_depth
+
+    gate_status = run_gate() if gate else "skipped"
 
     cfg, model = _flagship()
     h, w = cfg.tpu.image_size
@@ -86,8 +126,14 @@ def main():
         "unit": "pairs/sec/chip",
         "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC_PER_CHIP,
                              2),
+        "gate": gate_status,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--no-gate", action="store_true",
+                    help="skip the on-device kernel parity gate")
+    main(gate=not ap.parse_args().no_gate)
