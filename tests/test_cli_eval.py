@@ -23,17 +23,11 @@ from fixtures import make_voc_devkit
 pytestmark = pytest.mark.slow  # >30s: heavy compile / torch parity
 
 
-def test_test_net_cli(tmp_path):
-    import test_net as cli
-
-    devkit = make_voc_devkit(str(tmp_path / "VOCdevkit2007"))
-    assert os.path.isdir(devkit)
-
-    out_dir = str(tmp_path / "output")
-    argv = [
+def _argv(tmp_path, out_dir, bs=2):
+    return [
         "--dataset", "pascal_voc", "--net", "res50",
         "--data_dir", str(tmp_path), "--seen", "2", "--a", "2",
-        "--bs", "2", "--nw", "0", "--debug", "--write_results",
+        "--bs", str(bs), "--nw", "0", "--debug", "--write_results",
         "--output_dir", out_dir,
         "--save_dir", str(tmp_path / "models"),
         "--set",
@@ -43,7 +37,16 @@ def test_test_net_cli(tmp_path):
         "TEST.RPN_PRE_NMS_TOP_N", "256",
         "TEST.RPN_POST_NMS_TOP_N", "32",
     ]
-    results = cli.main(argv)
+
+
+def test_test_net_cli(tmp_path):
+    import test_net as cli
+
+    devkit = make_voc_devkit(str(tmp_path / "VOCdevkit2007"))
+    assert os.path.isdir(devkit)
+
+    out_dir = str(tmp_path / "output")
+    results = cli.main(_argv(tmp_path, out_dir))
 
     # one result dict per query-shot pass, mAP over the unseen split
     assert len(results) == 2
@@ -67,3 +70,36 @@ def test_test_net_cli(tmp_path):
     for line in open(os.path.join(main_dir, sorted(res_files)[0])):
         parts = line.split()
         assert len(parts) == 6  # index score x1 y1 x2 y2
+
+
+def test_test_net_cli_multi_device_matches_single(tmp_path):
+    """On the 8-device virtual mesh the eval CLI shards the pair batch
+    (--bs 4 -> 4-device mesh) and its detections match a single-device run
+    (--bs 1) on every pair both runs evaluated."""
+    import test_net as cli
+
+    make_voc_devkit(str(tmp_path / "VOCdevkit2007"))
+    out1, out4 = str(tmp_path / "out1"), str(tmp_path / "out4")
+    cli.main(_argv(tmp_path, out1, bs=1))
+    cli.main(_argv(tmp_path, out4, bs=4))
+
+    def load(out_dir):
+        f = sorted(p for p in os.listdir(out_dir) if p.endswith(".pkl"))[0]
+        with open(os.path.join(out_dir, f), "rb") as fh:
+            return pickle.load(fh)
+
+    b1, b4 = load(out1), load(out4)
+    common = 0
+    for ci in b1:
+        for ri in set(b1[ci]) & set(b4.get(ci, {})):
+            a, b = b1[ci][ri], b4[ci][ri]
+            # bf16 batching jitter can flip a tie at the valid-count
+            # boundary; the surviving rows must agree
+            assert abs(len(a) - len(b)) <= 1, (ci, ri, len(a), len(b))
+            n = min(len(a), len(b))
+            np.testing.assert_allclose(
+                a[:n], b[:n], rtol=2e-2, atol=2e-2,
+                err_msg=f"class {ci} record {ri} diverges between "
+                        f"single-device and sharded eval")
+            common += 1
+    assert common >= 4, f"only {common} common detections to compare"

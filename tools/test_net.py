@@ -116,7 +116,8 @@ def _save_vis(loader, rec_idx, dets, query, out_dir, pair_idx):
                 im[:, :, ::-1])  # RGB -> BGR for cv2
 
 
-def run_pass(loader, eval_step, post, params, args, allowed):
+def run_pass(loader, eval_step, post, params, args, allowed,
+             sharding=None):
     """One query-shot pass -> all_boxes[class][record_index]."""
     all_boxes = {ci: {} for ci in allowed}
     done = set()
@@ -124,12 +125,14 @@ def run_pass(loader, eval_step, post, params, args, allowed):
     n_pairs = len(loader.pairs)
     for batch in loader.test_epoch(args.batch_size,
                                    num_workers=args.num_workers):
-        dev = {k: jnp.asarray(v) for k, v in batch.items()
+        dev = {k: (jax.device_put(np.asarray(v), sharding)
+                   if sharding is not None else jnp.asarray(v))
+               for k, v in batch.items()
                if k in ("image", "query", "im_info", "gt_boxes",
                         "num_boxes")}
         out = eval_step(params, dev)
         dets, valid = post(out["rois"], out["cls_prob"], out["bbox_pred"],
-                           jnp.asarray(batch["im_info"]))
+                           dev["im_info"])
         dets = np.asarray(dets)
         valid = np.asarray(valid)
         for i in range(len(batch["pair_index"])):
@@ -200,7 +203,25 @@ def main(argv=None):
         printer("WARNING: no checkpoint dir, evaluating random init",
                 c="yellow")
 
-    eval_step = jax.jit(make_eval_step(model))
+    # multi-device eval: shard the pair batch over a 'data' mesh and run the
+    # eval forward as ONE shard_map program on every visible chip — the
+    # reference serves bs=1 on a single GPU (test_net_voc.py:330-339); the
+    # sharded step is parity-tested vs per-image eval in
+    # tests/test_sharded_step.py
+    n_dev = jax.device_count()
+    n_use = max(d for d in range(1, n_dev + 1) if args.batch_size % d == 0)
+    data_sharding = None
+    if n_use > 1:
+        from ait_tpu.parallel import (batch_sharding, make_mesh,
+                                      make_sharded_eval_step, replicate)
+        mesh = make_mesh(n_use)
+        params = replicate(params, mesh)
+        eval_step = jax.jit(make_sharded_eval_step(model, mesh))
+        data_sharding = batch_sharding(mesh)
+        printer(f"Eval mesh: {n_use}/{n_dev} device(s), batch "
+                f"{args.batch_size}")
+    else:
+        eval_step = jax.jit(make_eval_step(model))
     # the reference thresholds at 0.0 and raises to 0.05 only under --vis
     # (test_net_voc.py:311-313)
     score_thresh = max(cfg.TEST.SCORE_THRESH,
