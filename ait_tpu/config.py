@@ -149,6 +149,19 @@ class TpuConfig:
     input_uint8: bool = True                   # ship uint8, normalize on device
     host_s2d: bool = True                      # loader ships [H/2, W/2, 12] (resnet stem)
     portrait_bucket: bool = True               # transposed canvas for tall images
+    # Wider static canvases for high-aspect images: the reference scales
+    # shortest-side-600 with NO max clamp (blob.py:56-58 commented out), so a
+    # fixed 608x800 canvas under-resolves images wider than ~4:3.  Each entry
+    # is an extra (H, W) bucket; a record picks the FIRST canvas its
+    # 600-scaled dims fit (base canvas, then these by ascending width;
+    # transposed for portrait).  One bucket = one compiled program, batches
+    # stay canvas-homogeneous.  (608, 1216) keeps every image up to 2:1 at
+    # full reference resolution; beyond the widest bucket the scale is
+    # capped.  Buckets whose height differs from image_size[0] are ignored
+    # (a bucket only widens the canvas, it never changes the 600-scale
+    # height), so overriding image_size for small experiments silently
+    # disables the default bucket.
+    wide_buckets: Tuple[Tuple[int, int], ...] = ((608, 1216),)
     compute_dtype: str = "bfloat16"            # conv/matmul dtype; params stay f32
     mesh_axes: Tuple[str, ...] = ("data",)
     donate_state: bool = True

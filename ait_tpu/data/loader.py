@@ -5,11 +5,15 @@ minibatch.py + the custom whole-batch-permutation sampler,
 trainval_net_voc.py:153-176):
 
   * the per-batch dynamic aspect-ratio canvas (roibatchLoader.py:51-69,
-    139-253: crop/pad every batch to its own target ratio) becomes ONE static
-    canvas (cfg.tpu.image_size): shortest side scaled to TRAIN.SCALES[0],
-    capped to fit, placed top-left on zeros.  One canvas = one compiled
-    program; `im_info` carries the true extent so anchors/clipping see the
-    real image, not the padding;
+    139-253: crop/pad every batch to its own target ratio) becomes a SMALL
+    FIXED SET of static canvases: the base cfg.tpu.image_size, wider
+    buckets (cfg.tpu.wide_buckets) for high-aspect images, and transposes
+    for portrait ones (_canvas_for).  Shortest side scales to
+    TRAIN.SCALES[0] exactly (matching the reference's unclamped resize,
+    blob.py:56-58) for every aspect ratio the widest bucket covers; beyond
+    it the scale is capped to fit.  Each canvas = one compiled program;
+    batches are canvas-homogeneous; `im_info` carries the true extent so
+    anchors/clipping see the real image, not the padding;
   * query-class choice ~ inverse class frequency (roibatchLoader.py:111-123),
     gt relabeled to binary same-class=1/else 0 (`:126`), gt rows shuffled and
     zero-padded to MAX_NUM_GT_BOXES (`:140,264-270`);
@@ -55,19 +59,35 @@ class OneShotLoader:
     """Train/eval batch producer for one dataset view."""
 
     def __init__(self, view: DatasetView, cfg: Config, *, training: bool,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None, process_index: int = 0,
+                 process_count: int = 1):
+        if not 0 <= process_index < process_count:
+            raise ValueError(f"process_index {process_index} out of range "
+                             f"for process_count {process_count}")
         self.view = view
         self.cfg = cfg
         self.training = training
         self.canvas = cfg.tpu.image_size
         self.query_size = cfg.TRAIN.query_size
         self.max_gt = cfg.MAX_NUM_GT_BOXES
+        # multi-host (pod) input sharding, SURVEY §2.10: every host sees the
+        # SAME epoch order / batch membership (order_rng is host-invariant
+        # and advances once per epoch on all hosts), but prepares only its
+        # 1/process_count slice of each global batch.  Item-level sampling
+        # (query class/shot, flips, gt shuffle) is host-local, so its rng is
+        # decorrelated by process_index; at process_count == 1 both seeds
+        # reduce to the single-host values.
+        self.process_index = int(process_index)
+        self.process_count = int(process_count)
+        base_seed = cfg.RNG_SEED if seed is None else seed
         self.rng = np.random.RandomState(
-            cfg.RNG_SEED if seed is None else seed)
+            base_seed + self.process_index * 1000003)
+        self.order_rng = np.random.RandomState(base_seed)
         self.query_position = 0
         self.uint8 = bool(getattr(cfg.tpu, "input_uint8", False))
         self.portrait_bucket = bool(getattr(cfg.tpu, "portrait_bucket",
                                             False))
+        self.wide_buckets = tuple(getattr(cfg.tpu, "wide_buckets", ()) or ())
         # ship target images space-to-depth'd ([H/2, W/2, 12] u8) so the
         # resnet stem skips its device-side regroup + layout copy
         self.host_s2d = (bool(getattr(cfg.tpu, "host_s2d", False))
@@ -96,16 +116,34 @@ class OneShotLoader:
         return len(self.view.records) if self.training else len(self.pairs)
 
     def _canvas_for(self, rec) -> tuple:
-        """Landscape or portrait canvas bucket for one record.
+        """Static canvas bucket for one record.
 
         The TPU analog of the reference's aspect-ratio batch grouping
-        (roibatchLoader.py:51-69): two static canvases (the configured one
-        and its transpose), batches kept orientation-homogeneous so each
-        shape compiles once.  Without the bucket, portrait images are
-        scaled down to fit the landscape canvas."""
-        if self.portrait_bucket and rec.height > rec.width:
-            return (self.canvas[1], self.canvas[0])
-        return self.canvas
+        (roibatchLoader.py:51-69): a small set of static canvases — the
+        configured one, optional wider buckets (cfg.tpu.wide_buckets) for
+        high-aspect images that a fixed canvas would otherwise downscale
+        below the reference's unclamped shortest-side-600 (blob.py:56-58),
+        and the transpose of the chosen canvas for portrait images.  Batches
+        are kept canvas-homogeneous so each shape compiles once."""
+        portrait = self.portrait_bucket and rec.height > rec.width
+        base = self.canvas
+        # record dims in landscape orientation (portrait uses the transpose)
+        h, w = ((rec.width, rec.height) if portrait
+                else (rec.height, rec.width))
+        chosen = base
+        wide = sorted(tuple(b) for b in (self.wide_buckets or ())
+                      if b[0] == base[0] and b[1] > base[1])
+        if wide and h > 0 and w > 0:
+            target = (self.cfg.TRAIN.SCALES if self.training
+                      else self.cfg.TEST.SCALES)[0]
+            s = float(target) / min(h, w)
+            for cand in [base] + wide:
+                if round(h * s) <= cand[0] and round(w * s) <= cand[1]:
+                    chosen = cand
+                    break
+            else:
+                chosen = wide[-1]  # widest bucket; scale capped there
+        return (chosen[1], chosen[0]) if portrait else chosen
 
     def _prep_image(self, rec, s2d: Optional[bool] = None):
         im = _read(rec.image_path)
@@ -321,20 +359,34 @@ class OneShotLoader:
 
     def _orientation_groups(self, order, key_fn):
         """Split an index order into canvas-homogeneous groups."""
-        if not self.portrait_bucket:
+        if not self.portrait_bucket and not self.wide_buckets:
             return [order]
         groups: Dict[tuple, list] = {}
         for idx in order:
             groups.setdefault(key_fn(idx), []).append(idx)
         return list(groups.values())
 
+    def _host_shard(self, batches: List[list], batch_size: int):
+        """Each host keeps its interleaved 1/process_count slice of every
+        global batch (canvas-homogeneity is preserved: all members of a
+        batch share one canvas already)."""
+        if self.process_count == 1:
+            return batches
+        if batch_size % self.process_count:
+            raise ValueError(
+                f"global batch {batch_size} must divide by process_count "
+                f"{self.process_count}")
+        return [b[self.process_index::self.process_count] for b in batches]
+
     def train_epoch(self, batch_size: int, *, num_workers: int = 8,
                     prefetch: int = 4) -> Iterator[Dict[str, np.ndarray]]:
         """Shuffled fixed-size batches; the tail wraps around (the reference
         sampler's leftover handling, trainval_net_voc.py:160-162).  With the
         portrait bucket, batches are canvas-homogeneous and the two shapes
-        interleave in shuffled order."""
-        order = self.rng.permutation(len(self)).tolist()
+        interleave in shuffled order.  `batch_size` is the GLOBAL batch; with
+        process_count > 1 each host yields its batch_size/process_count
+        slice (assemble with jax.make_array_from_process_local_data)."""
+        order = self.order_rng.permutation(len(self)).tolist()
         batches = []
         for group in self._orientation_groups(
                 order, lambda i: self._canvas_for(self.view.records[i])):
@@ -342,16 +394,19 @@ class OneShotLoader:
             group = group + group[:pad]
             batches.extend(group[i:i + batch_size]
                            for i in range(0, len(group), batch_size))
-        self.rng.shuffle(batches)
+        self.order_rng.shuffle(batches)
         yield from self._pipeline(
-            batches, self.train_item, num_workers, prefetch,
+            self._host_shard(batches, batch_size), self.train_item,
+            num_workers, prefetch,
             batch_fn=self._train_batch_native if self._use_native()
             else None)
 
     def test_epoch(self, batch_size: int, *, num_workers: int = 8,
                    prefetch: int = 4) -> Iterator[Dict[str, np.ndarray]]:
         """All (image, class) pairs in order; tail padded by repeating the
-        last pair (consumers dedupe via 'pair_index')."""
+        last pair (consumers dedupe via 'pair_index').  `batch_size` is the
+        GLOBAL batch; with process_count > 1 each host evaluates a disjoint
+        slice of every batch (merge all_boxes across hosts by pair_index)."""
         order = list(range(len(self.pairs)))
         batches = []
         for group in self._orientation_groups(
@@ -363,7 +418,8 @@ class OneShotLoader:
             batches.extend(group[i:i + batch_size]
                            for i in range(0, len(group), batch_size))
         yield from self._pipeline(
-            batches, self.test_item, num_workers, prefetch,
+            self._host_shard(batches, batch_size), self.test_item,
+            num_workers, prefetch,
             batch_fn=self._test_batch_native if self._use_native()
             else None)
 

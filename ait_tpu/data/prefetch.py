@@ -23,9 +23,18 @@ def device_prefetch(batches: Iterable[Any], size: int = 2,
     None for the default device.
     """
 
+    multihost = jax.process_count() > 1
+
     def put(batch):
         if sharding is None:
             return jax.tree_util.tree_map(jnp.asarray, batch)
+        if multihost:
+            # each host holds only its slice of the global batch (the
+            # loader's per-host shard); assemble the global array from the
+            # process-local pieces — no host ever materializes the full batch
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(sharding, x),
+                batch)
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(x, sharding), batch)
 

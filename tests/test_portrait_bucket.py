@@ -27,8 +27,16 @@ def make_view(tmp_path, cfg):
     return filter_seen(load_voc(devkit, "2007", "test"), 2)
 
 
+def _no_wide(cfg):
+    """Pin wide_buckets off: these tests isolate the portrait-transpose
+    mechanism; the wide-bucket interplay is tested in test_wide_bucket.py."""
+    import dataclasses
+
+    return cfg.replace(tpu=dataclasses.replace(cfg.tpu, wide_buckets=()))
+
+
 def test_portrait_canvas_and_resolution(tmp_path):
-    cfg = Config()
+    cfg = _no_wide(Config())
     assert cfg.tpu.portrait_bucket
     view = make_view(tmp_path, cfg)
     loader = OneShotLoader(view, cfg, training=False)
@@ -53,7 +61,7 @@ def test_portrait_canvas_and_resolution(tmp_path):
 def test_landscape_only_without_bucket(tmp_path):
     import dataclasses
 
-    cfg = Config()
+    cfg = _no_wide(Config())
     cfg = cfg.replace(tpu=dataclasses.replace(cfg.tpu,
                                               portrait_bucket=False))
     view = make_view(tmp_path, cfg)
@@ -66,7 +74,7 @@ def test_landscape_only_without_bucket(tmp_path):
 
 
 def test_train_batches_homogeneous(tmp_path):
-    cfg = Config()
+    cfg = _no_wide(Config())
     view = make_view(tmp_path, cfg)
     loader = OneShotLoader(view, cfg, training=True, seed=0)
     shapes = [batch["image"].shape[1:3]

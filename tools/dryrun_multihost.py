@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Multi-HOST (pod) dryrun: 2 processes x 2 virtual CPU devices each.
+
+The multichip gate (__graft_entry__.dryrun_multichip) validates the sharded
+program on one process; this validates the POD data path the reference never
+had (its only parallelism was single-process nn.DataParallel,
+trainval_net_voc.py:321-326) and that SURVEY §2.10 prescribes:
+
+  * `jax.distributed.initialize` across real OS processes (Gloo collectives
+    on CPU, the same code path a TPU pod takes through the coordinator);
+  * the loader's per-host input sharding — each process constructs
+    `OneShotLoader(process_index=i, process_count=P)` and decodes ONLY its
+    1/P slice of every global batch;
+  * global-array assembly from process-local shards
+    (`device_prefetch` -> `jax.make_array_from_process_local_data`);
+  * one `make_sharded_train_step` over the GLOBAL ('data',) mesh; the
+    psum'd loss must come back finite and IDENTICAL on every host.
+
+Usage: python tools/dryrun_multihost.py [--processes 2] [--local-devices 2]
+       [--record]      # also write MULTIHOST_r.json at the repo root
+Exit 0 = pod path green.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_WORKER_ENV = "AIT_MH_WORKER"
+
+
+# ---------------------------------------------------------------------------
+# worker: runs under jax.distributed as one pod host
+# ---------------------------------------------------------------------------
+
+def worker_main():
+    sys.path.insert(0, REPO)
+    pid = int(os.environ[_WORKER_ENV])
+    procs = int(os.environ["AIT_MH_PROCS"])
+    local = int(os.environ["AIT_MH_LOCAL"])
+    port = os.environ["AIT_MH_PORT"]
+    devkit = os.environ["AIT_MH_DEVKIT"]
+
+    flags = " ".join(
+        f for f in os.environ.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f)
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={local}"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200").strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.distributed.initialize(f"localhost:{port}", num_processes=procs,
+                               process_id=pid)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ait_tpu.data import OneShotLoader, device_prefetch
+    from ait_tpu.data import voc as voc_data
+    from ait_tpu.parallel import (batch_sharding, make_mesh,
+                                  make_sharded_train_step, replicate)
+    from ait_tpu.train import (TrainState, init_params, lr_schedule,
+                               make_optimizer)
+    from ait_tpu.config import Config
+    from ait_tpu.models import AITDetector
+
+    n_global = procs * local
+    assert jax.process_count() == procs, jax.process_count()
+    assert jax.device_count() == n_global, jax.device_count()
+
+    cfg = Config().override([
+        "tpu.image_size", "(128, 160)",
+        "tpu.portrait_bucket", "False",
+        "TRAIN.SCALES", "(100,)",
+        "TRAIN.RPN_PRE_NMS_TOP_N", "64",
+        "TRAIN.RPN_POST_NMS_TOP_N", "16",
+        "TRAIN.RPN_BATCHSIZE", "16",
+        "TRAIN.BATCH_SIZE", "8",
+        "MAX_NUM_GT_BOXES", "4",
+    ])
+    view = voc_data.filter_seen(
+        voc_data.load_voc(devkit, "2007", "trainval"), 1)
+    loader = OneShotLoader(view, cfg, training=True,
+                           process_index=pid, process_count=procs)
+
+    model = AITDetector(cfg, dtype=jnp.bfloat16)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg, lr_schedule(0.01, 10, 4, 0.1))
+    mesh = make_mesh(n_global)
+    state = replicate(TrainState.create(params, tx), mesh)
+    step = jax.jit(make_sharded_train_step(model, tx, mesh),
+                   donate_argnums=0)
+
+    batches = device_prefetch(
+        loader.train_epoch(n_global, num_workers=1),
+        sharding=batch_sharding(mesh))
+    batch = next(iter(batches))
+    # the local loader produced 1/P of the global batch; the assembled
+    # global array must span all devices at the full batch size
+    assert batch["image"].shape[0] == n_global, batch["image"].shape
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(metrics)
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss), loss
+    print(f"MHLOSS pid={pid} loss={loss:.6f} step={int(state.step)}",
+          flush=True)
+
+
+# ---------------------------------------------------------------------------
+# parent: spawn the pod
+# ---------------------------------------------------------------------------
+
+def main(argv=None):
+    import argparse
+    import tempfile
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--processes", type=int, default=2)
+    ap.add_argument("--local-devices", type=int, default=2)
+    ap.add_argument("--record", action="store_true",
+                    help="write MULTIHOST_r.json at the repo root")
+    ap.add_argument("--timeout", type=int, default=1200)
+    args = ap.parse_args(argv)
+
+    with socket.socket() as s:  # free port (small race, retried by caller)
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    tmp = tempfile.mkdtemp(prefix="ait_mh_")
+    devkit = os.path.join(tmp, "VOCdevkit2007")
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from fixtures import make_voc_devkit
+
+    make_voc_devkit(devkit, image_set="trainval")
+
+    procs = []
+    for pid in range(args.processes):
+        env = dict(os.environ)
+        env.update({_WORKER_ENV: str(pid),
+                    "AIT_MH_PROCS": str(args.processes),
+                    "AIT_MH_LOCAL": str(args.local_devices),
+                    "AIT_MH_PORT": str(port),
+                    "AIT_MH_DEVKIT": devkit})
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)], env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+
+    outs = []
+    ok = True
+    for pid, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=args.timeout)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+            ok = False
+        outs.append(out)
+        sys.stdout.write(out)
+        ok = ok and p.returncode == 0
+
+    losses = [float(m.group(1)) for out in outs
+              for m in [re.search(r"MHLOSS pid=\d+ loss=([\d.eE+-]+)", out)]
+              if m]
+    ok = ok and len(losses) == args.processes and len(set(losses)) == 1
+    msg = {"ok": ok, "processes": args.processes,
+           "local_devices": args.local_devices, "losses": losses}
+    print(json.dumps(msg))
+    if args.record:
+        with open(os.path.join(REPO, "MULTIHOST_r.json"), "w") as f:
+            json.dump(msg, f)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    if os.environ.get(_WORKER_ENV) is not None:
+        worker_main()
+    else:
+        sys.exit(main())
