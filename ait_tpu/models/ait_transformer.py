@@ -3,8 +3,10 @@
 Semantics pinned to lib/model/system/Models.py:
   * enc_emb/dec_emb 1x1-conv embed 1024 -> 512 (`:188-193,246-247`);
   * the query feature map is tiled once per proposal (`:250`);
-  * proposal tokens (len 49) are zero-padded to the query length 64, with a
-    source pad mask marking the padding (`:258-270`);
+  * proposal tokens (len 49) are zero-padded with a source pad mask marking
+    the padding (`:258-270`; the reference pads to the query length 64 —
+    here only to the 8-aligned 56, which is exact because pad outputs are
+    never consumed, see the in-line note at n_enc);
   * sinusoidal positions + dropout + input LayerNorm (`:26-51`, Encoder/Decoder
     `:98-99,155-156`);
   * encoder = n_layers x (self-attn + FFN) over proposal tokens; decoder =
@@ -139,9 +141,18 @@ class AITTransformer(nn.Module):
             trg = jnp.repeat(trg, num_props, axis=0)
 
         n_s, n_t = src.shape[1], trg.shape[1]
-        # zero-pad proposal tokens to the query length (Models.py:269-270)
-        src = jnp.pad(src, ((0, 0), (0, n_t - n_s), (0, 0)))
-        src_mask = (jnp.arange(n_t) < n_s)[None, None, :]      # [1, 1, T]
+        # The reference zero-pads proposal tokens all the way to the query
+        # length (49 -> 64, Models.py:269-270), but the pad tokens' encoder
+        # outputs are never consumed — src_mask hides them as KEYS in both
+        # the encoder self-attention and the decoder cross-attention, and
+        # masked softmax columns are exactly 0 in f32 — so running the
+        # encoder at the sublane-aligned real length (49 -> 56) is exact in
+        # exact arithmetic (the narrower contraction reassociates f32
+        # reductions by ~1e-3 abs) while cutting ~1/8 of the encoder's
+        # FLOPs and memory traffic (parity: test_e2e_torch_parity.py).
+        n_enc = min(n_t, -(-n_s // 8) * 8)
+        src = jnp.pad(src, ((0, 0), (0, n_enc - n_s), (0, 0)))
+        src_mask = (jnp.arange(n_enc) < n_s)[None, None, :]    # [1, 1, Te]
         if self.causal_mask:
             trg_mask = jnp.tril(jnp.ones((n_t, n_t), bool))[None]
         else:
@@ -163,7 +174,7 @@ class AITTransformer(nn.Module):
                          ("bias", (d,), nn.initializers.zeros)),
                         name=name)()
                 flat = x_seq.reshape(-1, d).astype(self.dtype)
-                posf = pos[0, :n_t].astype(self.dtype)
+                posf = pos[0, :x_seq.shape[1]].astype(self.dtype)
                 train_drop = (not deterministic) and self.dropout > 0.0
                 keep_prob = 1.0 - self.dropout if train_drop else 1.0
                 if train_drop:
@@ -192,7 +203,7 @@ class AITTransformer(nn.Module):
         else:
             drop = nn.Dropout(self.dropout, deterministic=deterministic)
             enc = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                               name="enc_in_ln")(drop(src + pos[:, :n_t]))
+                               name="enc_in_ln")(drop(src + pos[:, :n_enc]))
         for i in range(self.n_layers):
             enc = EncoderLayer(
                 self.d_model, self.d_inner, self.n_head, self.d_k, self.d_v,

@@ -63,7 +63,11 @@ def test_ait_transformer_parity():
     out = model.apply({"params": params}, to_nhwc(x_props),
                       to_nhwc(x_query), deterministic=True)
     got = from_nhwc(out)
-    np.testing.assert_allclose(got, want, atol=ATOL, rtol=1e-4)
+    # 1e-3: the encoder runs at the 8-aligned real source length (56) while
+    # the reference pads to 64 (ait_transformer.py n_enc note) — identical
+    # in exact arithmetic (masked keys are exact zeros), but the narrower
+    # contraction reassociates the f32 reductions
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
 
 
 def test_sknet_parity_faithful():
