@@ -172,6 +172,14 @@ class TpuConfig:
     # `tp_axis`; requires t_n_head % tp_size == 0 and t_d_inner % tp_size == 0.
     tp_size: int = 1
     tp_axis: str = "model"
+    # Sequence parallelism over a 'seq' mesh axis (inference path): shards
+    # the co-attention's image-token sequence — exact distributed softmax
+    # for the directions that normalize over it (parallel/sp.py), row-
+    # parallel + all-gather for the others.  For canvases whose image-token
+    # activations outgrow one chip.  Only meaningful inside shard_map on a
+    # mesh carrying `sp_axis` (e.g. make_mesh(n, axes=("data", "seq"))).
+    sp_size: int = 1
+    sp_axis: str = "seq"
 
 
 @dataclass(frozen=True)

@@ -126,6 +126,17 @@ class MultiHeadAttention(nn.Module):
     # matching gradient reduction.
     tp_size: int = 1
     tp_axis: Optional[str] = None
+    # Sequence parallelism over a 'seq' mesh axis (parallel/sp.py): the
+    # module must be running inside shard_map over a mesh with `sp_axis`.
+    # sp_role picks which operand's TOKEN dim is sharded:
+    #   'kv' — k/v tokens sharded (distributed softmax over keys; the
+    #          co-attention i2q direction, image tokens as keys);
+    #   'q'  — query tokens sharded (row-parallel; the q2i direction, image
+    #          tokens as queries; output rows are all-gathered back).
+    # Inference-path feature for beyond-chip canvases — softmax dist only,
+    # deterministic only (the train path raises).
+    sp_axis: Optional[str] = None
+    sp_role: str = "kv"
 
     @nn.compact
     def __call__(self, q, k, v, mask: Optional[jnp.ndarray] = None,
@@ -172,6 +183,15 @@ class MultiHeadAttention(nn.Module):
             assert self.n_head > 1, "tp_size > 1 requires n_head > 1"
             return self._tp_forward(q, k, v, mask, wq, wk, wv, sh, out_proj_ln,
                                     deterministic=deterministic)
+
+        if self.sp_axis is not None:
+            assert deterministic, \
+                "sequence parallelism is an inference-path feature"
+            assert self.dist == "softmax" and mask is None and self.n_head > 1
+            if self.sp_role == "kv":
+                return self._sp_kv_forward(q, k, v, wq, wk, wv, sh,
+                                           out_proj_ln)
+            return self._sp_q_forward(q, k, v, wq, wk, wv, sh, ln, fc)
 
         pmax = self.pallas_max_tokens
         fuse_short = lq <= pmax and lk <= pmax
@@ -385,6 +405,105 @@ class MultiHeadAttention(nn.Module):
         out = jnp.sum(out * gate.astype(out.dtype)[:, :, None, :], axis=1)
         out = tp_allreduce(out, axis)                 # [B, T, d_v] full
         return out_proj_ln(out), None
+
+    # ---- sequence parallelism (inference; parallel/sp.py) ---------------
+
+    def _sp_slice(self, x):
+        """This shard's padded token block of a replicated [B, T, D] input.
+
+        Returns (local [B, Tp, D], valid [Tp] bool) with Tp = ceil(T/S)."""
+        axis = self.sp_axis
+        s = jax.lax.axis_size(axis)
+        idx = jax.lax.axis_index(axis)
+        t = x.shape[1]
+        tp_len = -(-t // s)
+        xpad = jnp.pad(x, ((0, 0), (0, tp_len * s - t), (0, 0)))
+        local = jax.lax.dynamic_slice_in_dim(xpad, idx * tp_len, tp_len, 1)
+        valid = (jnp.arange(tp_len) + idx * tp_len) < t
+        return local, valid
+
+    def _sp_proj(self, x, w, d):
+        y = x.astype(self.dtype) @ w.astype(self.dtype)
+        return y.reshape(x.shape[0], x.shape[1], self.n_head, d).transpose(
+            0, 2, 1, 3)
+
+    def _sp_kv_forward(self, q, k, v, wq, wk, wv, sh, out_proj_ln):
+        """K/V tokens sharded over sp_axis (image tokens as KEYS — i2q).
+
+        Each shard projects only its token block; the global softmax is
+        reconstructed exactly by seq_parallel_attention's three collectives.
+        Everything after the attention (SH gate, out-proj, residual, LN)
+        sees replicated tensors and runs locally."""
+        from ait_tpu.parallel.sp import seq_parallel_attention
+
+        b, lq = q.shape[0], q.shape[1]
+        k_loc, valid = self._sp_slice(k)
+        v_loc = k_loc if v is k else self._sp_slice(v)[0]
+        qh = self._sp_proj(q, wq, self.d_k)           # [B, H, Tq, dk]
+        kh = self._sp_proj(k_loc, wk, self.d_k)       # [B, H, Tp, dk]
+        vh = self._sp_proj(v_loc, wv, self.d_v)
+        mask_shard = jnp.broadcast_to(valid[None, None, None, :],
+                                      (b, self.n_head, lq, valid.shape[0]))
+        out = seq_parallel_attention(
+            qh, kh, vh, self.sp_axis, scale=1.0 / self.d_k ** 0.5,
+            mask_shard=mask_shard)                    # [B, H, Tq, d_v] repl.
+        out = out.astype(self.dtype)
+
+        # SH gate on replicated tensors — identical math to the jnp branch
+        u = jnp.sum(out, axis=1)
+        s_vec = jnp.mean(u, axis=1)
+        gate = s_vec @ sh["kernel"].astype(s_vec.dtype) + \
+            sh["bias"].astype(s_vec.dtype)
+        gate = gate.reshape(b, self.n_head, self.d_v)
+        gate = nn.softmax(gate.astype(jnp.float32), axis=1)
+        out = jnp.sum(out * gate.astype(out.dtype)[:, :, None, :], axis=1)
+        return out_proj_ln(out), None
+
+    def _sp_q_forward(self, q, k, v, wq, wk, wv, sh, ln, fc):
+        """Query tokens sharded over sp_axis (image tokens as QUERIES — q2i).
+
+        Row-parallel: each shard computes attention/gating/out-proj/LN for
+        its token block against the full (replicated, short) K/V; the SH
+        gate's token mean is the one cross-shard reduction; output rows are
+        all-gathered back to the full sequence at the end."""
+        axis = self.sp_axis
+        from ait_tpu.parallel.tp import tp_allreduce
+
+        b, t = q.shape[0], q.shape[1]
+        q_loc, valid = self._sp_slice(q)              # [B, Tp, D]
+        qh = self._sp_proj(q_loc, wq, self.d_k)
+        kh = self._sp_proj(k, wk, self.d_k)
+        vh = self._sp_proj(v, wv, self.d_v)
+        out, _ = scaled_dot_attention(
+            qh, kh, vh, temperature=self.d_k ** 0.5,
+            dist="softmax")                           # [B, H, Tp, d_v]
+
+        # SH gate input: mean over ALL T real tokens = psum of the local
+        # valid-row sums / T (pad rows hold garbage attention outputs)
+        u = jnp.sum(out, axis=1)                      # [B, Tp, d_v]
+        u = jnp.where(valid[None, :, None], u, 0.0)
+        s_vec = tp_allreduce(jnp.sum(u, axis=1), axis) / t
+        gate = s_vec @ sh["kernel"].astype(s_vec.dtype) + \
+            sh["bias"].astype(s_vec.dtype)
+        gate = gate.reshape(b, self.n_head, self.d_v)
+        gate = nn.softmax(gate.astype(jnp.float32), axis=1)
+        out = jnp.sum(out * gate.astype(out.dtype)[:, :, None, :], axis=1)
+
+        # local out-proj + residual + post-LN on this shard's rows
+        # (same math as out_proj_ln, with the LOCAL residual rows)
+        out = out @ fc.astype(out.dtype)
+        out = out + q_loc.astype(out.dtype)
+        outf = out.astype(jnp.float32)
+        mu = jnp.mean(outf, axis=-1, keepdims=True)
+        var = jnp.mean((outf - mu) ** 2, axis=-1, keepdims=True)
+        outf = (outf - mu) * jax.lax.rsqrt(var + 1e-6) * ln["scale"] + \
+            ln["bias"]
+        out = outf.astype(self.dtype)
+
+        # rows home: [S, B, Tp, D] -> [B, S*Tp, D] -> drop the pad tail
+        full = jax.lax.all_gather(out, axis)
+        full = full.transpose(1, 0, 2, 3).reshape(b, -1, out.shape[-1])
+        return full[:, :t], None
 
 
 class PositionwiseFeedForward(nn.Module):

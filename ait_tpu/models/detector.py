@@ -95,14 +95,21 @@ class AITDetector(nn.Module):
         else:
             raise ValueError(mc.backbone)
 
+        # sequence parallelism (cfg.tpu.sp_size > 1): the co-attention's
+        # image-token sequence — the detector's only beyond-chip activation
+        # at large canvases — shards over the 'seq' mesh axis (parallel/sp.py;
+        # inference path, requires running inside shard_map on a mesh with
+        # that axis)
+        sp_axis = c.tpu.sp_axis if c.tpu.sp_size > 1 else None
         if mc.coattention == "mha":
             self.coattention = MHACoAttention(
                 ch, mc.t_n_head, mc.t_d_k, mc.t_d_v, mc.t_dropout,
                 dtype=self.dtype, tp_size=c.tpu.tp_size,
-                tp_axis=c.tpu.tp_axis)
+                tp_axis=c.tpu.tp_axis, sp_axis=sp_axis)
         elif mc.coattention == "nonlocal":
             self.coattention = NonLocalCoAttention(
-                ch, mc.coatt_normalization, dtype=self.dtype)
+                ch, mc.coatt_normalization, dtype=self.dtype,
+                sp_axis=sp_axis)
         else:
             raise ValueError(mc.coattention)
 
