@@ -129,6 +129,26 @@ def _keep_thresh(keep_prob):
 
 _ATTN_TAG, _OUT_TAG = 1, 2
 
+# Backward recompute policy: when True, the forward kernel also emits the
+# per-head q/k/v projections (f32, post-scale for q) and the backward reads
+# them instead of recomputing.  Bitwise identical gradients either way (the
+# saved values are exactly what the recompute produced); built, gated green
+# on chip, and A/B'd on the full step: 87.5 -> 80.1 pairs/sec — the ~400 MB
+# per MHA of extra f32 residual HBM traffic costs MORE than the recompute
+# it saves (the projection dots overlap the kernel's memory pipeline;
+# reads/writes of the saved blocks do not).  Default OFF per that
+# measurement; kept in-tree for other shape regimes (PERFORMANCE.md).
+_SAVE_QKV = False
+
+
+def _save_qkv_ok(tq, tk):
+    """save-qkv is the SHORT-sequence (AIT head) policy only: at the
+    long-seq co-attention shapes the extra [H, pt*Tk, d] blocks push the
+    backward kernel past its 64 MB scoped-VMEM budget (measured 67.1 MB at
+    8x64x1900), and the projections there are a small fraction of the
+    block's FLOPs anyway — the long-seq backward keeps the recompute."""
+    return _SAVE_QKV and tq <= 128 and tk <= 128
+
 
 def _seed2(seed_ref, tag, h, pair):
     """Fold (tag, head, absolute pair) into the second seed word — hardware
@@ -174,7 +194,8 @@ def _oh_4d(tq):
 
 def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
             fcw_ref, lns_ref, lnb_ref, mask_ref, *rest, n_head, d_k,
-            d_v, dist, keep_prob, save_oh=False, rng_drop=False):
+            d_v, dist, keep_prob, save_oh=False, save_qkv=False,
+            rng_drop=False):
     """Mosaic constraints shape this kernel: the lane (minor) dimension can
     never be split by a reshape, so weights arrive per-head ([H, D, d]) and
     heads/pairs are static python loops over 2-D MXU matmuls; pairs are
@@ -191,6 +212,9 @@ def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
     pass with BITWISE-identical gradients (everything downstream of oh in
     the forward is derived from these f32 values)."""
     rest = list(rest)
+    vall_ref = rest.pop() if save_qkv else None
+    kall_ref = rest.pop() if save_qkv else None
+    qall_ref = rest.pop() if save_qkv else None
     ohall_ref = rest.pop() if save_oh else None
     ak_ref = ok_ref = seed_ref = None
     if rng_drop:
@@ -221,6 +245,10 @@ def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
                      preferred_element_type=jnp.float32) * scale
         kh = jnp.dot(xkv2, wk_ref[h], preferred_element_type=jnp.float32)
         vh = jnp.dot(xkv2, wv_ref[h], preferred_element_type=jnp.float32)
+        if qall_ref is not None:   # _SAVE_QKV: backward reads, not recomputes
+            qall_ref[h] = qh.reshape(p, tq, d_k) if _oh_4d(tq) else qh
+            kall_ref[h] = kh.reshape(p, tk, d_k) if _oh_4d(tk) else kh
+            vall_ref[h] = vh.reshape(p, tk, d_v) if _oh_4d(tk) else vh
         ohs = []
         for base in range(0, p, g):
             qg = _flat_slice(qh, base, g, tq)       # [g*Tq, dk]
@@ -295,7 +323,7 @@ def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
 def _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
                 attn_keep=None, out_keep=None, *, n_head, d_k, d_v, dist,
                 keep_prob, pair_tile, interpret, save_oh=False,
-                rng_seed=None):
+                save_qkv=False, rng_seed=None):
     p, tq, d = x_q.shape
     tk = x_kv.shape[1]
     pt = min(pair_tile, p)
@@ -342,25 +370,33 @@ def _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
 
     kern = functools.partial(_kernel, n_head=n_head, d_k=d_k, d_v=d_v,
                              dist=dist, keep_prob=keep_prob, save_oh=save_oh,
+                             save_qkv=save_qkv,
                              rng_drop=rng_seed is not None)
+
+    def head_block(t, width):
+        """Per-head [H, P*t, w] (or 4-D for sublane-unaligned t) output."""
+        if _oh_4d(t):
+            return (pl.BlockSpec((n_head, pt, t, width),
+                                 lambda i: (0, i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    jax.ShapeDtypeStruct((n_head, p, t, width), jnp.float32))
+        return (pl.BlockSpec((n_head, pt * t, width), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                jax.ShapeDtypeStruct((n_head, p * t, width), jnp.float32))
+
     out_specs = pl.BlockSpec((pt, tq, d), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((p, tq, d), x_q.dtype)
     if save_oh:
-        if _oh_4d(tq):
-            oh_spec = pl.BlockSpec((n_head, pt, tq, d_v),
-                                   lambda i: (0, i, 0, 0),
-                                   memory_space=pltpu.VMEM)
-            oh_shape = jax.ShapeDtypeStruct((n_head, p, tq, d_v),
-                                            jnp.float32)
-        else:
-            oh_spec = pl.BlockSpec((n_head, pt * tq, d_v),
-                                   lambda i: (0, i, 0),
-                                   memory_space=pltpu.VMEM)
-            oh_shape = jax.ShapeDtypeStruct((n_head, p * tq, d_v),
-                                            jnp.float32)
+        oh_spec, oh_shape = head_block(tq, d_v)
         out_specs = [out_specs, oh_spec]
         out_shape = [out_shape, oh_shape]
+    if save_qkv:
+        assert save_oh, "save_qkv is a train-path (save_oh) extension"
+        for t, width in ((tq, d_k), (tk, d_k), (tk, d_v)):
+            spec, shp = head_block(t, width)
+            out_specs.append(spec)
+            out_shape.append(shp)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -375,7 +411,7 @@ def _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
 
 def _bwd_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
                 fcw_ref, lns_ref, lnb_ref, mask_ref, *rest, n_head, d_k,
-                d_v, keep_prob, rng_drop=False):
+                d_v, keep_prob, rng_drop=False, have_qkv=False):
     """Fused backward: reads the forward's saved per-head attention outputs
     (oh, f32 — gate/fc/LN recompute from them is bitwise what the forward
     computed), recomputes only the attention probabilities for the softmax
@@ -386,19 +422,22 @@ def _bwd_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
     With rng_drop the dropout keep-masks are REGENERATED in-kernel from the
     SMEM seed with the same per-(head, absolute-pair) seeding as the
     forward, so gradients see bit-identical masks at any pair tile."""
-    seed_ref = None
+    rest = list(rest)
+    (dxq_ref, dxkv_ref, dwq_ref, dwk_ref, dwv_ref, dskw_ref, dskb_ref,
+     dfcw_ref, dlns_ref, dlnb_ref) = rest[-10:]
+    ins = rest[:-10]
+    seed_ref = ak_ref = ok_ref = None
+    qall_ref = kall_ref = vall_ref = None
     if rng_drop:
-        (seed_ref, oh_ref, g_ref, dxq_ref, dxkv_ref, dwq_ref, dwk_ref,
-         dwv_ref, dskw_ref, dskb_ref, dfcw_ref, dlns_ref, dlnb_ref) = rest
-        ak_ref = ok_ref = None
-    elif len(rest) == 14:
-        (ak_ref, ok_ref, oh_ref, g_ref, dxq_ref, dxkv_ref, dwq_ref,
-         dwk_ref, dwv_ref, dskw_ref, dskb_ref, dfcw_ref, dlns_ref,
-         dlnb_ref) = rest
-    else:
-        (oh_ref, g_ref, dxq_ref, dxkv_ref, dwq_ref, dwk_ref, dwv_ref,
-         dskw_ref, dskb_ref, dfcw_ref, dlns_ref, dlnb_ref) = rest
-        ak_ref = ok_ref = None
+        seed_ref = ins.pop(0)
+    g_ref = ins.pop()
+    if have_qkv:
+        vall_ref = ins.pop()
+        kall_ref = ins.pop()
+        qall_ref = ins.pop()
+    oh_ref = ins.pop()
+    if ins:
+        ak_ref, ok_ref = ins
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -517,11 +556,22 @@ def _bwd_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
 
     dxkv_acc = jnp.zeros((p * tk, d), jnp.float32)
     for h in range(n_head):
-        # recompute per-head activations (second pass), flat pair-major
-        qh = jnp.dot(xq2, wq_ref[h],
-                     preferred_element_type=jnp.float32) * scale
-        kh = jnp.dot(xkv2, wk_ref[h], preferred_element_type=jnp.float32)
-        vh = jnp.dot(xkv2, wv_ref[h], preferred_element_type=jnp.float32)
+        if qall_ref is not None:
+            # _SAVE_QKV: the forward saved these exact f32 values
+            qh = (qall_ref[h].reshape(p * tq, d_k) if _oh_4d(tq)
+                  else qall_ref[h])
+            kh = (kall_ref[h].reshape(p * tk, d_k) if _oh_4d(tk)
+                  else kall_ref[h])
+            vh = (vall_ref[h].reshape(p * tk, d_v) if _oh_4d(tk)
+                  else vall_ref[h])
+        else:
+            # recompute per-head activations (second pass), flat pair-major
+            qh = jnp.dot(xq2, wq_ref[h],
+                         preferred_element_type=jnp.float32) * scale
+            kh = jnp.dot(xkv2, wk_ref[h],
+                         preferred_element_type=jnp.float32)
+            vh = jnp.dot(xkv2, wv_ref[h],
+                         preferred_element_type=jnp.float32)
         doh = (do * gammas[h][:, None, :] + du).reshape(p * tq, d_v)
         dzs, dks, dvs = [], [], []
         for base in range(0, p, gp):
@@ -579,12 +629,16 @@ def _bwd_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, skw_ref, skb_ref,
 
 def _fused_bwd_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
                     mask, attn_keep, out_keep, oh_all, g, *, n_head, d_k,
-                    d_v, keep_prob, pair_tile, interpret, rng_seed=None):
+                    d_v, keep_prob, pair_tile, interpret, rng_seed=None,
+                    qkv=None):
     """Run the fused backward kernel; returns cotangents for the 10 array
     inputs in the ORIGINAL (pre-per-head-reshape) weight layouts.
 
     oh_all [H, P*Tq, dv] f32: the forward's saved per-head attention
-    outputs (second output of _fused_call(save_oh=True))."""
+    outputs (second output of _fused_call(save_oh=True)).  `qkv`
+    (qh_all, kh_all, vh_all): the forward's saved projections
+    (_SAVE_QKV) — when given the kernel reads them instead of recomputing
+    (bitwise the same values)."""
     p, tq, d = x_q.shape
     tk = x_kv.shape[1]
     # the backward holds ~2.5x the forward's live intermediates (o_heads for
@@ -626,15 +680,20 @@ def _fused_bwd_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
                      pl.BlockSpec((pt * tq, d), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)]
         operands += [attn_keep, out_keep]
-    if _oh_4d(tq):
-        in_specs.append(pl.BlockSpec((n_head, pt, tq, d_v),
-                                     lambda i: (0, i, 0, 0),
-                                     memory_space=pltpu.VMEM))  # saved oh
-    else:
-        in_specs.append(pl.BlockSpec((n_head, pt * tq, d_v),
-                                     lambda i: (0, i, 0),
-                                     memory_space=pltpu.VMEM))  # saved oh
+    def head_block(t, width):
+        if _oh_4d(t):
+            return pl.BlockSpec((n_head, pt, t, width),
+                                lambda i: (0, i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((n_head, pt * t, width), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs.append(head_block(tq, d_v))             # saved oh
     operands.append(oh_all)
+    if qkv is not None:
+        for arr, (t, width) in zip(qkv, ((tq, d_k), (tk, d_k), (tk, d_v))):
+            in_specs.append(head_block(t, width))    # saved qh/kh/vh
+            operands.append(arr)
     in_specs.append(per_pair(tq, d))                 # upstream cotangent
     operands.append(g)
 
@@ -659,7 +718,8 @@ def _fused_bwd_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
 
     kern = functools.partial(_bwd_kernel, n_head=n_head, d_k=d_k, d_v=d_v,
                              keep_prob=keep_prob,
-                             rng_drop=rng_seed is not None)
+                             rng_drop=rng_seed is not None,
+                             have_qkv=qkv is not None)
     (dxq, dxkv, dwq, dwk, dwv, dskw, dskb, dfcw, dlns,
      dlnb) = pl.pallas_call(
         kern, grid=grid, in_specs=in_specs, out_specs=out_specs,
@@ -699,12 +759,21 @@ def fused_sh_attention(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b,
 
 def _fwd(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
          n_head, d_k, d_v, dist, pair_tile, interpret):
+    qkv = None
     if dist != "softmax":
         out = _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s,
                           ln_b, mask, n_head=n_head, d_k=d_k, d_v=d_v,
                           dist=dist, keep_prob=1.0, pair_tile=pair_tile,
                           interpret=interpret)
         oh = None
+    elif _save_qkv_ok(x_q.shape[1], x_kv.shape[1]):
+        out, oh, *qkv = _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b,
+                                    fc_w, ln_s, ln_b, mask, n_head=n_head,
+                                    d_k=d_k, d_v=d_v, dist=dist,
+                                    keep_prob=1.0, pair_tile=pair_tile,
+                                    interpret=interpret, save_oh=True,
+                                    save_qkv=True)
+        qkv = tuple(qkv)
     else:
         out, oh = _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w,
                               ln_s, ln_b, mask, n_head=n_head, d_k=d_k,
@@ -712,7 +781,7 @@ def _fwd(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
                               pair_tile=pair_tile, interpret=interpret,
                               save_oh=True)
     return out, (x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
-                 oh)
+                 oh, qkv)
 
 
 def _mask_cotangent(mask):
@@ -721,7 +790,8 @@ def _mask_cotangent(mask):
 
 
 def _bwd(n_head, d_k, d_v, dist, pair_tile, interpret, res, g):
-    (x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask, oh) = res
+    (x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask, oh,
+     qkv) = res
     if dist != "softmax":
         # fused bwd kernel only implements the softmax dist; fall back to
         # gradient-of-the-reference (recompute)
@@ -734,7 +804,8 @@ def _bwd(n_head, d_k, d_v, dist, pair_tile, interpret, res, g):
     grads = _fused_bwd_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s,
                             ln_b, mask, None, None, oh, g, n_head=n_head,
                             d_k=d_k, d_v=d_v, keep_prob=1.0,
-                            pair_tile=pair_tile, interpret=interpret)
+                            pair_tile=pair_tile, interpret=interpret,
+                            qkv=qkv)
     return grads + (_mask_cotangent(mask),)
 
 
@@ -765,12 +836,23 @@ def fused_sh_attention_dropout(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w,
 def _fwd_drop(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
               attn_keep, out_keep, n_head, d_k, d_v, dist, keep_prob,
               pair_tile, interpret):
+    qkv = None
     if dist != "softmax":
         out = _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s,
                           ln_b, mask, attn_keep, out_keep, n_head=n_head,
                           d_k=d_k, d_v=d_v, dist=dist, keep_prob=keep_prob,
                           pair_tile=pair_tile, interpret=interpret)
         oh = None
+    elif _save_qkv_ok(x_q.shape[1], x_kv.shape[1]):
+        out, oh, *qkv = _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b,
+                                    fc_w, ln_s, ln_b, mask, attn_keep,
+                                    out_keep, n_head=n_head, d_k=d_k,
+                                    d_v=d_v, dist=dist,
+                                    keep_prob=keep_prob,
+                                    pair_tile=pair_tile,
+                                    interpret=interpret, save_oh=True,
+                                    save_qkv=True)
+        qkv = tuple(qkv)
     else:
         out, oh = _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w,
                               ln_s, ln_b, mask, attn_keep, out_keep,
@@ -778,13 +860,13 @@ def _fwd_drop(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
                               keep_prob=keep_prob, pair_tile=pair_tile,
                               interpret=interpret, save_oh=True)
     return out, (x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
-                 attn_keep, out_keep, oh)
+                 attn_keep, out_keep, oh, qkv)
 
 
 def _bwd_drop(n_head, d_k, d_v, dist, keep_prob, pair_tile, interpret,
               res, g):
     (x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask, attn_keep,
-     out_keep, oh) = res
+     out_keep, oh, qkv) = res
     if dist != "softmax":
         def f(*args):
             return _reference_impl(*args, n_head=n_head, d_k=d_k, d_v=d_v,
@@ -796,7 +878,7 @@ def _bwd_drop(n_head, d_k, d_v, dist, keep_prob, pair_tile, interpret,
                             ln_b, mask, attn_keep, out_keep, oh, g,
                             n_head=n_head, d_k=d_k, d_v=d_v,
                             keep_prob=keep_prob, pair_tile=pair_tile,
-                            interpret=interpret)
+                            interpret=interpret, qkv=qkv)
     return grads + (_mask_cotangent(mask), jnp.zeros_like(attn_keep),
                     jnp.zeros_like(out_keep))
 
@@ -832,24 +914,35 @@ def fused_sh_attention_rngdrop(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w,
 
 def _fwd_rng(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
              seed, n_head, d_k, d_v, dist, keep_prob, pair_tile, interpret):
-    out, oh = _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s,
-                          ln_b, mask, n_head=n_head, d_k=d_k, d_v=d_v,
-                          dist=dist, keep_prob=keep_prob,
-                          pair_tile=pair_tile, interpret=interpret,
-                          save_oh=True, rng_seed=seed)
+    if _save_qkv_ok(x_q.shape[1], x_kv.shape[1]):
+        out, oh, *qkv = _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b,
+                                    fc_w, ln_s, ln_b, mask, n_head=n_head,
+                                    d_k=d_k, d_v=d_v, dist=dist,
+                                    keep_prob=keep_prob,
+                                    pair_tile=pair_tile,
+                                    interpret=interpret, save_oh=True,
+                                    save_qkv=True, rng_seed=seed)
+        qkv = tuple(qkv)
+    else:
+        out, oh = _fused_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w,
+                              ln_s, ln_b, mask, n_head=n_head, d_k=d_k,
+                              d_v=d_v, dist=dist, keep_prob=keep_prob,
+                              pair_tile=pair_tile, interpret=interpret,
+                              save_oh=True, rng_seed=seed)
+        qkv = None
     return out, (x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask,
-                 seed, oh)
+                 seed, oh, qkv)
 
 
 def _bwd_rng(n_head, d_k, d_v, dist, keep_prob, pair_tile, interpret,
              res, g):
     (x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s, ln_b, mask, seed,
-     oh) = res
+     oh, qkv) = res
     grads = _fused_bwd_call(x_q, x_kv, wq, wk, wv, sk_w, sk_b, fc_w, ln_s,
                             ln_b, mask, None, None, oh, g, n_head=n_head,
                             d_k=d_k, d_v=d_v, keep_prob=keep_prob,
                             pair_tile=pair_tile, interpret=interpret,
-                            rng_seed=seed)
+                            rng_seed=seed, qkv=qkv)
     import numpy as np
     return grads + (_mask_cotangent(mask),
                     np.zeros(seed.shape, dtype=jax.dtypes.float0))
