@@ -24,6 +24,7 @@ as the reference math for long sequences / other dists / other platforms.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Tuple
 
 import jax
@@ -200,7 +201,11 @@ class MultiHeadAttention(nn.Module):
                      lq * lk <= self.pallas_max_area)
         # pair tile: 16 is the tuned value for the AIT head's short
         # sequences; for long sequences bound the rows per grid step
-        pair_tile = 16 if fuse_short else max(1, 2048 // max(lq, lk))
+        # 16 is the tuned short-sequence pair tile (re-A/B'd round 3 on
+        # chip: 32 -> 84.3 pairs/sec vs 16 -> 87.5); AIT_PAIR_TILE
+        # overrides for tile experiments
+        pair_tile = (int(os.environ.get("AIT_PAIR_TILE", 16))
+                     if fuse_short else max(1, 2048 // max(lq, lk)))
         if not deterministic and self.dropout > 0.0 and \
                 not self.in_kernel_dropout:
             # the operand-keep-mask kernel variant rides flat [H, P*Tq, Tk]
