@@ -116,25 +116,38 @@ def _save_vis(loader, rec_idx, dets, query, out_dir, pair_idx):
                 im[:, :, ::-1])  # RGB -> BGR for cv2
 
 
+def _put(v, sharding):
+    if sharding is None:
+        return jnp.asarray(v)
+    if jax.process_count() > 1:
+        # this host's loader shard -> its slice of the global batch
+        return jax.make_array_from_process_local_data(sharding,
+                                                      np.asarray(v))
+    return jax.device_put(np.asarray(v), sharding)
+
+
 def run_pass(loader, eval_step, post, params, args, allowed,
              sharding=None):
-    """One query-shot pass -> all_boxes[class][record_index]."""
+    """One query-shot pass -> all_boxes[class][record_index] (this host's
+    pairs only under multi-process; the caller merges)."""
+    from ait_tpu.parallel import host_local_rows
+
     all_boxes = {ci: {} for ci in allowed}
     done = set()
     t0 = time.time()
     n_pairs = len(loader.pairs)
     for batch in loader.test_epoch(args.batch_size,
                                    num_workers=args.num_workers):
-        dev = {k: (jax.device_put(np.asarray(v), sharding)
-                   if sharding is not None else jnp.asarray(v))
-               for k, v in batch.items()
+        dev = {k: _put(v, sharding) for k, v in batch.items()
                if k in ("image", "query", "im_info", "gt_boxes",
                         "num_boxes")}
         out = eval_step(params, dev)
         dets, valid = post(out["rois"], out["cls_prob"], out["bbox_pred"],
                            dev["im_info"])
-        dets = np.asarray(dets)
-        valid = np.asarray(valid)
+        # under multi-process the global outputs are sharded; this host
+        # owns exactly the rows its loader produced
+        dets = host_local_rows(dets)
+        valid = host_local_rows(valid)
         for i in range(len(batch["pair_index"])):
             pi = int(batch["pair_index"][i])
             if pi in done:
@@ -157,6 +170,12 @@ def run_pass(loader, eval_step, post, params, args, allowed,
 
 def main(argv=None):
     args = parse_args(argv)
+    # pod eval: same SPMD program on every host; each host decodes and
+    # postprocesses only its slice of the pair list, detections are merged
+    # across hosts before AP (parallel/multihost.py)
+    from ait_tpu.parallel import maybe_init_distributed
+    maybe_init_distributed(printer)
+    proc0 = jax.process_index() == 0
     cfg = build_config(args)
     # adopt train-time architecture knobs saved next to the checkpoint
     # (the reference restores POOLING_MODE from its ckpt dict,
@@ -234,14 +253,17 @@ def main(argv=None):
         bbox_normalize_stds=cfg.TRAIN.BBOX_NORMALIZE_STDS))
 
     os.makedirs(args.output_dir, exist_ok=True)
-    loader = OneShotLoader(view, cfg, training=False)
+    loader = OneShotLoader(view, cfg, training=False,
+                           process_index=jax.process_index(),
+                           process_count=jax.process_count())
 
     # run tag side-channel (reference writes it unconditionally at startup,
     # test_net_voc.py:223-225; the VOC writer reads it back as comp-id)
     from ait_tpu.evaluation import comp_id_tag, write_experiment_info
     comp_id = comp_id_tag(args.checksession, ckpt_step, args.version)
-    write_experiment_info(comp_id, os.path.join(args.output_dir,
-                                                "experiment.info"))
+    if proc0:
+        write_experiment_info(comp_id, os.path.join(args.output_dir,
+                                                    "experiment.info"))
 
     results = []
     for avg in range(args.average):
@@ -257,9 +279,17 @@ def main(argv=None):
         else:
             printer(f"Query-shot pass {avg + 1}/{args.average}")
             all_boxes = run_pass(loader, eval_step, post, params, args,
-                                 view.allowed_classes)
-            with open(det_file, "wb") as f:
-                pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)
+                                 view.allowed_classes,
+                                 sharding=data_sharding)
+            if jax.process_count() > 1:
+                # each host evaluated a disjoint pair slice — merge, so
+                # every host holds (and proc 0 caches) the full result
+                from ait_tpu.parallel import (allgather_object,
+                                              merge_all_boxes)
+                all_boxes = merge_all_boxes(allgather_object(all_boxes))
+            if proc0:
+                with open(det_file, "wb") as f:
+                    pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)
 
         if args.dataset == "coco":
             gt = view.coco_gt
@@ -274,7 +304,7 @@ def main(argv=None):
             stats = ev.summarize(class_index=class_index)
             results.append({"AP50": float(stats[1]), "AP": float(stats[0])})
         else:
-            if args.write_results:
+            if args.write_results and proc0:
                 from ait_tpu.evaluation import write_voc_results_files
                 paths = write_voc_results_files(
                     all_boxes, view.records, view.classes,

@@ -182,11 +182,8 @@ def main(argv=None):
     # multi-host TPU pods: initialize the distributed runtime when launched
     # under a cluster coordinator (same pjit program then spans hosts; XLA
     # runs the gradient psum over ICI/DCN — SURVEY.md §2.10)
-    if os.environ.get("COORDINATOR_ADDRESS") or \
-            os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
-        printer(f"jax.distributed initialized: process "
-                f"{jax.process_index()}/{jax.process_count()}")
+    from ait_tpu.parallel import maybe_init_distributed
+    maybe_init_distributed(printer)
     cfg = build_config(args)
     # fail fast on tensor-parallel misconfiguration (before any data/model
     # work): tp must divide the device count, the attention head count and
