@@ -23,7 +23,7 @@ from fixtures import make_voc_devkit
 pytestmark = pytest.mark.slow  # >30s: heavy compile / torch parity
 
 
-def _argv(tmp_path, out_dir, bs=2):
+def _argv(tmp_path, out_dir, bs=2, extra_set=()):
     return [
         "--dataset", "pascal_voc", "--net", "res50",
         "--data_dir", str(tmp_path), "--seen", "2", "--a", "2",
@@ -36,6 +36,7 @@ def _argv(tmp_path, out_dir, bs=2):
         "TEST.SCALES", "(100,)",
         "TEST.RPN_PRE_NMS_TOP_N", "256",
         "TEST.RPN_POST_NMS_TOP_N", "32",
+        *extra_set,
     ]
 
 
@@ -89,17 +90,59 @@ def test_test_net_cli_multi_device_matches_single(tmp_path):
             return pickle.load(fh)
 
     b1, b4 = load(out1), load(out4)
-    common = 0
+    _assert_dets_close(b1, b4, "single-device and sharded eval")
+
+
+def _assert_dets_close(b1, b4, what, outlier_frac=0.0):
+    """Every detection row of b1 must have a close counterpart in b4's same
+    record (nearest-row match: score order may swap under a different
+    reduction order).  `outlier_frac` rows may fail — with a random-init
+    net, ~1e-3 score jitter at an NMS tie swaps which near-duplicate box
+    survives, which is amplification, not divergence."""
+    total, bad = 0, 0
     for ci in b1:
         for ri in set(b1[ci]) & set(b4.get(ci, {})):
-            a, b = b1[ci][ri], b4[ci][ri]
+            a, b = np.asarray(b1[ci][ri]), np.asarray(b4[ci][ri])
             # bf16 batching jitter can flip a tie at the valid-count
             # boundary; the surviving rows must agree
             assert abs(len(a) - len(b)) <= 1, (ci, ri, len(a), len(b))
-            n = min(len(a), len(b))
-            np.testing.assert_allclose(
-                a[:n], b[:n], rtol=2e-2, atol=2e-2,
-                err_msg=f"class {ci} record {ri} diverges between "
-                        f"single-device and sharded eval")
-            common += 1
-    assert common >= 4, f"only {common} common detections to compare"
+            for row in a:
+                total += 1
+                if not any(np.allclose(row, brow, rtol=2e-2, atol=2e-2)
+                           for brow in b):
+                    bad += 1
+    assert total >= 4, f"only {total} detections to compare"
+    allowed = int(np.ceil(outlier_frac * total))
+    assert bad <= allowed, (f"{bad}/{total} rows without a close "
+                            f"counterpart between {what}")
+
+
+def test_test_net_cli_seq_parallel_matches_data_parallel(tmp_path):
+    """--set tpu.sp_size 2 builds a ('data','seq') mesh in the eval CLI
+    (dp2 x sp2 on the 8-device virtual mesh) and the co-attention's
+    image-token sequence shards over 'seq'; detections must match the
+    dp-only run at the SAME batch size (identical batching — the only
+    delta is the sequence-sharded co-attention arithmetic)."""
+    import test_net as cli
+
+    make_voc_devkit(str(tmp_path / "VOCdevkit2007"))
+    outdp, outsp = str(tmp_path / "outdp"), str(tmp_path / "outsp")
+    res_dp = cli.main(_argv(tmp_path, outdp, bs=2))
+    res_sp = cli.main(_argv(tmp_path, outsp, bs=2,
+                            extra_set=("tpu.sp_size", "2")))
+
+    def load(out_dir):
+        f = sorted(p for p in os.listdir(out_dir) if p.endswith(".pkl"))[0]
+        with open(os.path.join(out_dir, f), "rb") as fh:
+            return pickle.load(fh)
+
+    # the sp softmax reassociates f32 reductions; through a random-init
+    # net + NMS + top-k that flips which near-tie box survives on a few
+    # slots (bf16 CLI path; amplification bounds measured in
+    # tests/test_sp.py::test_detector_eval_step_on_data_seq_mesh, which
+    # pins the numerics tightly at f32 on stable slots) — here assert the
+    # WIRING: most detections agree and the per-pass mAPs stay close
+    _assert_dets_close(load(outdp), load(outsp),
+                       "dp2 and dp2xsp2 eval", outlier_frac=0.4)
+    for rd, rs in zip(res_dp, res_sp):
+        assert abs(rd["mAP"] - rs["mAP"]) < 8.0, (rd["mAP"], rs["mAP"])

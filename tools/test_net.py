@@ -201,7 +201,16 @@ def main(argv=None):
             f"{len(view.allowed_classes)} classes under test")
 
     model = AITDetector(cfg, dtype=jnp.bfloat16)
-    params = init_params(model, cfg, jax.random.PRNGKey(cfg.RNG_SEED))
+    # sequence parallelism (--set tpu.sp_size S): the sp model's in-model
+    # 'seq'-axis collectives exist only inside the sharded eval step, so
+    # initialize/restore with an sp=1 twin — the param layout is identical
+    # (sequence shards are sliced at COMPUTE time, parallel/sp.py)
+    if int(cfg.tpu.sp_size) > 1:
+        cfg_init = cfg.replace(tpu=dataclasses.replace(cfg.tpu, sp_size=1))
+        init_model = AITDetector(cfg_init, dtype=jnp.bfloat16)
+    else:
+        init_model = model
+    params = init_params(init_model, cfg, jax.random.PRNGKey(cfg.RNG_SEED))
     ckpt_dir = args.checkpoint_path or os.path.join(
         args.save_dir, args.net, args.dataset, args.version, "ckpt")
     ckpt_step = 0
@@ -226,19 +235,32 @@ def main(argv=None):
     # eval forward as ONE shard_map program on every visible chip — the
     # reference serves bs=1 on a single GPU (test_net_voc.py:330-339); the
     # sharded step is parity-tested vs per-image eval in
-    # tests/test_sharded_step.py
+    # tests/test_sharded_step.py.  With --set tpu.sp_size S > 1 the mesh
+    # gains a 'seq' axis and the co-attention's image-token sequence shards
+    # over it (parallel/sp.py) — serving canvases whose token sequence
+    # outgrows one chip; parity on a ('data','seq') mesh in tests/test_sp.py
     n_dev = jax.device_count()
-    n_use = max(d for d in range(1, n_dev + 1) if args.batch_size % d == 0)
+    sp = int(cfg.tpu.sp_size)
+    if sp > 1 and (n_dev < sp or n_dev % sp != 0):
+        raise SystemExit(f"tpu.sp_size {sp}: needs a device count "
+                         f"divisible by it, have {n_dev}")
+    dp = max(d for d in range(1, n_dev // sp + 1)
+             if args.batch_size % d == 0)
+    n_use = dp * sp
     data_sharding = None
     if n_use > 1:
         from ait_tpu.parallel import (batch_sharding, make_mesh,
                                       make_sharded_eval_step, replicate)
-        mesh = make_mesh(n_use)
+        if sp > 1:
+            mesh = make_mesh(n_use, axes=("data", cfg.tpu.sp_axis),
+                             shape=(dp, sp))
+        else:
+            mesh = make_mesh(n_use)
         params = replicate(params, mesh)
         eval_step = jax.jit(make_sharded_eval_step(model, mesh))
         data_sharding = batch_sharding(mesh)
-        printer(f"Eval mesh: {n_use}/{n_dev} device(s), batch "
-                f"{args.batch_size}")
+        printer(f"Eval mesh: {dict(mesh.shape)} ({n_use}/{n_dev} "
+                f"device(s)), batch {args.batch_size}")
     else:
         eval_step = jax.jit(make_eval_step(model))
     # the reference thresholds at 0.0 and raises to 0.05 only under --vis
