@@ -180,6 +180,17 @@ class TpuConfig:
     # mesh carrying `sp_axis` (e.g. make_mesh(n, axes=("data", "seq"))).
     sp_size: int = 1
     sp_axis: str = "seq"
+    # Train-time decoder-prefix sharing in the AIT head: the decoder input is
+    # the query tiled per proposal (Models.py:250), so its prefix (embed,
+    # pos-enc glue, first self-attention) is per-image identical up to
+    # dropout.  True (default) = run the prefix once per image; each image's
+    # proposals then share its prefix dropout masks — the expected gradient
+    # is unchanged (identical mask marginals, loss sums over proposals),
+    # only the masking noise within an image correlates.  Priced at
+    # -6.4 ms/step (-6.8%) on v5e; convergence smoke equal (PERFORMANCE.md).
+    # False = reference-exact iid per-proposal masks.  Eval and any
+    # dropout-free run are bitwise unaffected either way.
+    dec_prefix_per_image: bool = True
 
 
 @dataclass(frozen=True)

@@ -117,6 +117,16 @@ class AITTransformer(nn.Module):
     use_pallas: bool = True
     tp_size: int = 1
     tp_axis: str = "model"
+    # Train-time decoder-prefix sharing (cfg.tpu.dec_prefix_per_image): the
+    # decoder input is the SAME query tiled once per proposal (Models.py:250),
+    # so until cross-attention the per-proposal streams differ only in their
+    # dropout draws.  With this flag the prefix (dec_emb, pos-enc glue, first
+    # self-attention) runs once per image and each image's proposals share
+    # its dropout masks: the expected gradient is unchanged (each mask has
+    # the same marginal law; the loss is a sum over proposals), only the
+    # masking noise within an image becomes correlated.  Off = reference-
+    # exact iid per-proposal masks.  Eval is bitwise unaffected either way.
+    dec_prefix_per_image: bool = False
 
     @nn.compact
     def __call__(self, x_props, x_query, *, deterministic: bool = True):
@@ -134,9 +144,12 @@ class AITTransformer(nn.Module):
         src = x_props.reshape(bp, hp * wp, d)
         trg = x_query.reshape(bs, hq * wq, d)
         # at train time dropout draws differ per proposal, so the tile must
-        # happen up front (reference semantics); at eval the repeat is
+        # happen up front (reference semantics) unless dec_prefix_per_image
+        # opts into shared per-image masks; at eval the repeat is always
         # deferred into the first decoder layer (see DecoderLayer.repeat)
-        dec_repeat = num_props if (deterministic and num_props > 1) else 1
+        dec_repeat = num_props if (
+            num_props > 1 and (deterministic or self.dec_prefix_per_image)
+        ) else 1
         if dec_repeat == 1:
             trg = jnp.repeat(trg, num_props, axis=0)
 

@@ -124,7 +124,8 @@ class AITDetector(nn.Module):
             causal_mask=mc.t_causal_mask, dist=mc.t_attn_dist,
             channels=ch, dtype=self.dtype,
             use_pallas=c.tpu.use_pallas_attention,
-            tp_size=c.tpu.tp_size, tp_axis=c.tpu.tp_axis)
+            tp_size=c.tpu.tp_size, tp_axis=c.tpu.tp_axis,
+            dec_prefix_per_image=c.tpu.dec_prefix_per_image)
         self.sk = SKNet(ch, gate=mc.sk_gate, dtype=self.dtype)
 
         if mc.with_contextual_relation:

@@ -26,6 +26,16 @@ if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the CLI e2e tests spawn subprocess compiles of
+# the full detector program; on this 1-vCPU host a cold XLA-CPU compile of
+# that program is minutes.  The cache is keyed on HLO+platform, so sharing
+# the repo-level dir with the TPU tools is safe.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_CACHE_DIR", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest

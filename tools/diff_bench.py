@@ -24,6 +24,10 @@ Modes:
               (prices the fixed-shape target assignment, fwd-only graph)
   frozen_bb   stop_gradient after both backbone applies (prices the
               backbone backward pass)
+  dec_prefix_off
+              disable the default-on per-image decoder prefix (restores
+              reference-exact iid per-proposal dropout masks); the delta
+              vs base prices the shared prefix
 
 Usage: python tools/diff_bench.py --mode base no_coatt det_coatt
 """
@@ -103,6 +107,13 @@ def _apply_mode(mode: str, cfg):
     if mode == "pre6000":
         return cfg.replace(TRAIN=dataclasses.replace(
             cfg.TRAIN, RPN_PRE_NMS_TOP_N=6000))
+    if mode == "dec_prefix_off":
+        # disable the (default-on) train-time per-image decoder prefix,
+        # restoring reference-exact iid per-proposal dropout masks; the
+        # delta vs base prices the shared prefix
+        # (see TpuConfig.dec_prefix_per_image)
+        return cfg.replace(tpu=dataclasses.replace(
+            cfg.tpu, dec_prefix_per_image=False))
 
     import flax.linen as nn
     import jax.numpy as jnp

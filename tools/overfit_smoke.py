@@ -94,6 +94,10 @@ def main(argv=None):
     p.add_argument("--coatt", default="mha", choices=["mha", "nonlocal"],
                    help="co-attention flavor (mha=VOC model, "
                         "nonlocal=COCO model)")
+    p.add_argument("--no_dec_prefix", action="store_true",
+                   help="disable the default-on tpu.dec_prefix_per_image "
+                        "(restores reference-exact iid per-proposal "
+                        "decoder dropout masks)")
     args = p.parse_args(argv)
 
     root = tempfile.mkdtemp(prefix="shapes_")
@@ -101,6 +105,9 @@ def main(argv=None):
     cfg = Config()
     cfg = cfg.replace(model=dataclasses.replace(cfg.model,
                                                 coattention=args.coatt))
+    if args.no_dec_prefix:
+        cfg = cfg.replace(tpu=dataclasses.replace(
+            cfg.tpu, dec_prefix_per_image=False))
     view = make_dataset(root)
     view_eval = make_dataset(root)  # same images, fresh (unaugmented) view
     view_eval.allowed_classes = view.allowed_classes
