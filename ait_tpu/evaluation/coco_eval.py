@@ -67,26 +67,38 @@ def greedy_match(ious: np.ndarray, gt_ignore: np.ndarray,
     """
     if native.available():
         return native.greedy_match(ious, gt_ignore, iscrowd, thrs)
+    # Numpy fallback: greedy over detections is inherently sequential, but
+    # the scan over gts is vectorized per detection.  Semantics match the
+    # scalar loop (and the C++ kernel): among still-available gts, prefer a
+    # non-ignored gt with IoU >= thr; only if none qualifies, an ignored
+    # one; ties on IoU pick the highest gt index (the scalar loop's `<`
+    # comparison lets later equal values replace earlier ones).
     t_n, d_n, g_n = len(thrs), ious.shape[0], ious.shape[1]
     dtm = np.zeros((t_n, d_n), np.int64)
-    gtm = np.zeros((t_n, g_n), np.int64)
     dt_ig = np.zeros((t_n, d_n), np.uint8)
-    for ti, thr in enumerate(thrs):
+    gt_ignore = gt_ignore.astype(bool)
+    crowd = iscrowd.astype(bool)
+    thr_eps = np.minimum(thrs, 1 - 1e-10)
+
+    def last_argmax(row):
+        return g_n - 1 - int(np.argmax(row[::-1]))
+
+    for ti in range(t_n):
+        gt_taken = np.zeros(g_n, bool)
         for di in range(d_n):
-            best = min(thr, 1 - 1e-10)
+            avail = ~gt_taken | crowd
+            row = np.where(avail, ious[di], -1.0)
             m = -1
-            for gi in range(g_n):
-                if gtm[ti, gi] > 0 and not iscrowd[gi]:
-                    continue
-                if m > -1 and not gt_ignore[m] and gt_ignore[gi]:
-                    break
-                if ious[di, gi] < best:
-                    continue
-                best = ious[di, gi]
-                m = gi
+            cand = np.where(~gt_ignore, row, -1.0)
+            if g_n and cand.max() >= thr_eps[ti]:
+                m = last_argmax(cand)
+            else:
+                cand = np.where(gt_ignore, row, -1.0)
+                if g_n and cand.max() >= thr_eps[ti]:
+                    m = last_argmax(cand)
             if m > -1:
                 dtm[ti, di] = m + 1
-                gtm[ti, m] = di + 1
+                gt_taken[m] = True
                 dt_ig[ti, di] = gt_ignore[m]
     return dtm, dt_ig
 
@@ -126,19 +138,15 @@ class COCODetEval:
         self.stats = None
 
     # ------------------------------------------------------------------
-    def _evaluate_img(self, img_id, cat_id, a_rng, max_det):
+    def _prepare_img(self, img_id, cat_id, max_det):
+        """Per-(img, cat) work shared by all 4 area ranges: score-sort +
+        cap the detections, extract gt arrays, compute the IoU matrix once
+        (pycocotools' computeIoU/evaluateImg split — cocoeval.py caches
+        `self.ious[imgId, catId]` and every area range reuses it)."""
         gts = self._gts[(img_id, cat_id)]
         dts = self._dts[(img_id, cat_id)]
         if not gts and not dts:
             return None
-        g_ig = np.array([
-            bool(g.get("ignore", 0)) or bool(g.get("iscrowd", 0)) or
-            g["area"] < a_rng[0] or g["area"] > a_rng[1] for g in gts],
-            dtype=bool)
-        # gt sorted ignore-last (stable)
-        g_order = np.argsort(g_ig, kind="mergesort")
-        gts = [gts[i] for i in g_order]
-        g_ig = g_ig[g_order]
         # dt sorted by score desc (stable), capped
         d_scores = np.array([d["score"] for d in dts])
         d_order = np.argsort(-d_scores, kind="mergesort")[:max_det]
@@ -147,20 +155,41 @@ class COCODetEval:
         g_box = np.array([g["bbox"] for g in gts], np.float64).reshape(-1, 4)
         d_box = np.array([d["bbox"] for d in dts], np.float64).reshape(-1, 4)
         crowd = np.array([int(g.get("iscrowd", 0)) for g in gts], np.uint8)
-        ious = bbox_iou_xywh(d_box, g_box, crowd)
+        base_ig = np.array([
+            bool(g.get("ignore", 0)) or bool(g.get("iscrowd", 0))
+            for g in gts], dtype=bool)
+        g_area = np.array([g["area"] for g in gts], np.float64)
+        return {
+            "ious": bbox_iou_xywh(d_box, g_box, crowd),
+            "crowd": crowd,
+            "base_ig": base_ig,
+            "g_area": g_area,
+            "d_area": d_box[:, 2] * d_box[:, 3],
+            "d_scores": np.array([d["score"] for d in dts]),
+        }
 
-        dtm, dt_ig = greedy_match(ious, g_ig.astype(np.uint8), crowd,
+    def _evaluate_img(self, prep, a_rng):
+        """Matching for one area range, reusing the prepared IoU matrix."""
+        g_ig = (prep["base_ig"] | (prep["g_area"] < a_rng[0]) |
+                (prep["g_area"] > a_rng[1]))
+        # gt sorted ignore-last (stable); index the cached IoU columns
+        g_order = np.argsort(g_ig, kind="mergesort")
+        g_ig = g_ig[g_order]
+        crowd = prep["crowd"][g_order]
+        ious = prep["ious"][:, g_order] if prep["ious"].size else prep["ious"]
+
+        dtm, dt_ig = greedy_match(np.ascontiguousarray(ious),
+                                  g_ig.astype(np.uint8), crowd,
                                   self.iouThrs)
         # unmatched dts outside the area range are ignored too
-        d_area = d_box[:, 2] * d_box[:, 3]
-        d_out = (d_area < a_rng[0]) | (d_area > a_rng[1])
+        d_out = (prep["d_area"] < a_rng[0]) | (prep["d_area"] > a_rng[1])
         dt_ig = np.logical_or(dt_ig.astype(bool),
                               (dtm == 0) & d_out[None, :])
         return {
             "dtMatches": dtm,
             "dtIgnore": dt_ig,
             "gtIgnore": g_ig,
-            "dtScores": np.array([d["score"] for d in dts]),
+            "dtScores": prep["d_scores"],
             "num_gt": int(np.count_nonzero(~g_ig)),
         }
 
@@ -169,11 +198,13 @@ class COCODetEval:
         self._img_results = {}
         max_det = self.maxDets[-1]
         for ci, cat_id in enumerate(self.cat_ids):
-            for ai, a_rng in enumerate(self.areaRng):
-                for img_id in self.img_ids:
-                    r = self._evaluate_img(img_id, cat_id, a_rng, max_det)
-                    if r is not None:
-                        self._img_results[(ci, ai, img_id)] = r
+            for img_id in self.img_ids:
+                prep = self._prepare_img(img_id, cat_id, max_det)
+                if prep is None:
+                    continue
+                for ai, a_rng in enumerate(self.areaRng):
+                    self._img_results[(ci, ai, img_id)] = \
+                        self._evaluate_img(prep, a_rng)
 
     def accumulate(self):
         t_n = len(self.iouThrs)

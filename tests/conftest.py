@@ -37,8 +37,23 @@ jax.config.update(
         ".jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+import subprocess
+
 import numpy as np
 import pytest
+
+# Build the native .so once per session if missing so the native-loader and
+# s2d tests execute on a fresh checkout instead of skipping (the build is a
+# few seconds; failures degrade to the previous skip behavior).
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SO = os.path.join(_REPO, "native", "libait_native.so")
+if not os.path.exists(_SO):
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.join(_REPO, "native")],
+            check=False, capture_output=True, timeout=120)
+    except Exception:
+        pass
 
 
 @pytest.fixture

@@ -176,6 +176,11 @@ def test_greedy_match_native_matches_python(monkeypatch):
     from ait_tpu import native
     rng = np.random.RandomState(2)
     ious = rng.rand(15, 6)
+    # inject exact IoU ties so the fallback's last-argmax tie-breaking is
+    # exercised against the C++ kernel's scan order
+    ious[3, :] = 0.7
+    ious[7, 2] = ious[7, 4] = 0.9
+    ious[10, :] = 0.0
     gt_ig = (rng.rand(6) < 0.3).astype(np.uint8)
     # sort ignore-last as the evaluator does
     order = np.argsort(gt_ig, kind="mergesort")

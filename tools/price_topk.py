@@ -2,11 +2,11 @@
 
 The train-path proposal layer selects the top RPN_PRE_NMS_TOP_N=12000 of
 22800 anchor scores per image (batch 8), tile-aligned to k_eff=12032
-(ops/nms.py:192-197).  This tool prices the current `lax.top_k` against
-exact alternatives at the production shape:
+(ait_tpu/ops/nms.py:192-197).  This tool prices the current `lax.top_k`
+against exact alternatives at the production shape:
 
   - topk:        lax.top_k(scores, k)                      (current)
-  - sort_slice:  full descending sort_key_val, slice k      (same output)
+  - sort_slice:  stable descending sort_key_val, slice k    (same output)
   - approx:      lax.approx_max_k(..., recall_target=1.0, aggregate_to_topk)
                  TPU PartialReduce custom call; exactness is CHECKED here
                  against topk, not assumed.
@@ -49,7 +49,10 @@ def f_topk(sc, bx):
 
 @jax.jit
 def f_sort(sc, bx):
-    v, i = lax.sort_key_val(-sc, lax.broadcasted_iota(jnp.int32, sc.shape, 1))
+    # is_stable so ties (e.g. NEG_INF-masked invalid rows in production
+    # score tensors) break by index, matching lax.top_k's tie order.
+    v, i = lax.sort_key_val(
+        -sc, lax.broadcasted_iota(jnp.int32, sc.shape, 1), is_stable=True)
     return -v[:, :K], gather(bx, i[:, :K])
 
 
@@ -61,7 +64,13 @@ def f_approx(sc, bx):
 
 def main():
     rng = np.random.default_rng(0)
-    sc = jnp.asarray(rng.standard_normal((B, N)), jnp.float32)
+    sc_np = rng.standard_normal((B, N)).astype(np.float32)
+    # Production score tensors contain ties: NEG_INF on masked/invalid rows
+    # and duplicated scores from padded anchors.  Inject both so the
+    # exactness check below exercises tie-breaking, not just distinct keys.
+    sc_np[:, -500:] = np.float32(-1e30)
+    sc_np[:, 100:200] = sc_np[:, 0:100]
+    sc = jnp.asarray(sc_np)
     bx = jnp.asarray(rng.standard_normal((B, N, 4)), jnp.float32)
 
     t_ref, (v_ref, b_ref) = run(f_topk, sc, bx)
