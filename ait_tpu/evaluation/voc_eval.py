@@ -104,16 +104,44 @@ def eval_class(detections: Dict[int, np.ndarray],
     return rec, prec, voc_ap(rec, prec, use_07_metric)
 
 
+def _file_round_trip(dets: np.ndarray) -> np.ndarray:
+    """Replicate the reference's result-FILE round trip on a det array.
+
+    pascal_voc.py:328 writes each line as
+    `{:.3f}`-formatted score and `{:.1f}`-formatted 1-based coordinates,
+    and voc_eval reads those strings back — so the reference's AP is
+    computed on quantized values.  Near-tied scores collapse to exact ties
+    under %.3f, and np.argsort then orders them by file position, which
+    can shift the PR curve.  This helper applies the identical text
+    quantization (Python's repr-based formatting, not np.round, so
+    half-even decisions match bit for bit) in our 0-based frame:
+    coord -> float('%.1f' % (coord + 1)) - 1 (the integer translation is
+    exact in float64)."""
+    dets = np.asarray(dets, np.float64).reshape(-1, 5)
+    out = np.empty_like(dets)
+    for i, (x1, y1, x2, y2, s) in enumerate(dets):
+        out[i] = (float(f"{x1 + 1:.1f}") - 1.0, float(f"{y1 + 1:.1f}") - 1.0,
+                  float(f"{x2 + 1:.1f}") - 1.0, float(f"{y2 + 1:.1f}") - 1.0,
+                  float(f"{s:.3f}"))
+    return out
+
+
 def evaluate_voc(all_boxes: Dict[int, Dict[int, np.ndarray]],
                  records: Sequence[ImageRecord],
                  class_inds: Sequence[int],
                  class_names: Sequence[str],
                  use_07_metric: bool = True,
-                 ovthresh: float = 0.5) -> Dict[str, float]:
+                 ovthresh: float = 0.5,
+                 file_quantize: bool = False) -> Dict[str, float]:
     """all_boxes[class_ind][record_index] -> [N, 5] dets (0-based coords).
 
     Returns {class_name: AP} + {'mAP': mean}; mirrors
     pascal_voc.evaluate_detections + _do_python_eval (pascal_voc.py:331-443).
+
+    file_quantize=True additionally reproduces the reference's result-file
+    round trip (%.3f scores / %.1f coords, see _file_round_trip) for
+    bit-exact cross-evaluator comparisons; the default full-precision path
+    is the better metric and differs only by tie-ordering noise.
     """
     results = {}
     aps = []
@@ -125,6 +153,8 @@ def evaluate_voc(all_boxes: Dict[int, Dict[int, np.ndarray]],
             gt_b[idx] = rec.boxes[mask].astype(np.float64) + shift
             gt_d[idx] = rec.difficult[mask].astype(bool)
         dets = all_boxes.get(ci, {})
+        if file_quantize:
+            dets = {k: _file_round_trip(v) for k, v in dets.items()}
         _, _, ap = eval_class(dets, gt_b, gt_d, ovthresh, use_07_metric)
         results[cname] = ap
         aps.append(ap)

@@ -37,21 +37,35 @@ def batch_tuple(batch: Dict[str, jnp.ndarray]):
 
 
 def init_params(model: AITDetector, cfg: Config, rng, *, batch=None):
-    """Initialize params with throwaway tiny shapes (shape-polymorphic model)."""
-    if batch is None:
-        h, w = cfg.tpu.image_size
-        q = cfg.TRAIN.query_size
-        g = cfg.MAX_NUM_GT_BOXES
-        batch = {
-            "image": jnp.zeros((1, h, w, 3), jnp.float32),
-            "query": jnp.zeros((1, q, q, 3), jnp.float32),
-            "im_info": jnp.asarray([[h, w, 1.0]], jnp.float32),
-            "gt_boxes": jnp.zeros((1, g, 5), jnp.float32),
-            "num_boxes": jnp.zeros((1,), jnp.int32),
-        }
-    rngs = {"params": rng, "dropout": jax.random.PRNGKey(0),
-            "sampling": jax.random.PRNGKey(1)}
-    variables = model.init(rngs, *batch_tuple(batch), train=False)
+    """Initialize params with throwaway tiny shapes (shape-polymorphic model).
+
+    Always runs on the host CPU backend: flax's init executes the forward
+    EAGERLY op by op, and against a remote TPU (axon tunnel) every eager
+    dispatch pays a network round trip — a full-canvas detector init was
+    measured at 25+ minutes that way.  Params are small and the caller
+    device_puts/replicates them anyway, so CPU init is semantics-free and
+    takes seconds.
+    """
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        if batch is None:
+            # params are canvas-independent (convs + fixed-width heads), so
+            # init at a capped canvas — eager CPU init at 608x800 costs
+            # minutes for nothing (__graft_entry__ inits at 160x160 and
+            # restores into the full-canvas step)
+            h, w = (min(d, 160) for d in cfg.tpu.image_size)
+            q = cfg.TRAIN.query_size
+            g = cfg.MAX_NUM_GT_BOXES
+            batch = {
+                "image": jnp.zeros((1, h, w, 3), jnp.float32),
+                "query": jnp.zeros((1, q, q, 3), jnp.float32),
+                "im_info": jnp.asarray([[h, w, 1.0]], jnp.float32),
+                "gt_boxes": jnp.zeros((1, g, 5), jnp.float32),
+                "num_boxes": jnp.zeros((1,), jnp.int32),
+            }
+        rngs = {"params": rng, "dropout": jax.random.PRNGKey(0),
+                "sampling": jax.random.PRNGKey(1)}
+        variables = model.init(rngs, *batch_tuple(batch), train=False)
     return variables["params"]
 
 

@@ -62,8 +62,25 @@ def install():
     _module("lib.ops")
     _module("lib.ops.utils", printer=noop, color=lambda *a, **k: "",
             mkdir=noop, AverageMeter=object)
-    _module("lib.utilities", Bar=object, FillingSquaresBar=object)
-    _module("terminaltables", DoubleTable=lambda *a, **k: None)
+    class _Bar:  # progress.bar API surface the reference touches
+        def __init__(self, *a, **k):
+            self.suffix = ""
+            self.elapsed_td = self.eta_td = 0
+
+        def next(self):
+            pass
+
+        def finish(self):
+            pass
+
+    _module("lib.utilities", Bar=_Bar, FillingSquaresBar=_Bar)
+    class _Table:
+        def __init__(self, *a, **k):
+            self.justify_columns = {}
+            self.table = ""
+
+    _module("terminaltables", DoubleTable=_Table, AsciiTable=_Table,
+            SingleTable=_Table)
 
     # torchvision: only `torchvision.models` is imported, never called on
     # the paths we exercise
@@ -74,6 +91,13 @@ def install():
     _module("model._C", nms=noop, roi_align_forward=noop,
             roi_align_backward=noop, roi_pool_forward=noop,
             roi_pool_backward=noop)
+
+    # vendored pycocotools' Cython _mask isn't built; datasets.factory
+    # imports datasets.coco -> pycocotools.coco -> .mask at module level.
+    # The VOC paths never call these (COCO bbox eval goes through our own
+    # evaluator), so inert stubs suffice.
+    _module("pycocotools._mask", iou=noop, merge=noop, frPyObjects=noop,
+            encode=noop, decode=noop, area=noop, toBbox=noop)
 
     # module-level `stty size` calls need a tty
     real_popen = os.popen

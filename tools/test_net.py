@@ -29,6 +29,13 @@ import jax
 if os.environ.get("AIT_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["AIT_PLATFORM"])
 
+# persistent compile cache: repeat CLI runs skip the minutes-long cold
+# XLA/Mosaic compiles (same policy as bench.py / tools/*)
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -200,14 +207,17 @@ def main(argv=None):
     printer(f"{len(view.records)} eval images, "
             f"{len(view.allowed_classes)} classes under test")
 
-    model = AITDetector(cfg, dtype=jnp.bfloat16)
+    # conv/matmul compute dtype: --set tpu.compute_dtype float32 for
+    # exact-parity runs (params stay f32 either way)
+    dtype = jnp.dtype(cfg.tpu.compute_dtype)
+    model = AITDetector(cfg, dtype=dtype)
     # sequence parallelism (--set tpu.sp_size S): the sp model's in-model
     # 'seq'-axis collectives exist only inside the sharded eval step, so
     # initialize/restore with an sp=1 twin — the param layout is identical
     # (sequence shards are sliced at COMPUTE time, parallel/sp.py)
     if int(cfg.tpu.sp_size) > 1:
         cfg_init = cfg.replace(tpu=dataclasses.replace(cfg.tpu, sp_size=1))
-        init_model = AITDetector(cfg_init, dtype=jnp.bfloat16)
+        init_model = AITDetector(cfg_init, dtype=dtype)
     else:
         init_model = model
     params = init_params(init_model, cfg, jax.random.PRNGKey(cfg.RNG_SEED))
