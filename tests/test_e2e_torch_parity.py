@@ -151,10 +151,10 @@ def _fit_params(template, converted):
     return {k: _fit_params(template[k], converted[k]) for k in template}
 
 
-@pytest.mark.parametrize("flavor", ["voc", "coco"])
+@pytest.mark.parametrize("flavor", ["voc", "coco", "voc101"])
 def test_full_detector_eval_forward_parity(flavor):
     _install_shims()
-    if flavor == "voc":
+    if flavor.startswith("voc"):
         from model.faster_rcnn.resnet_sys_transformer_sk_dilat import resnet
     else:  # COCO model: non-local co-attention instead of the MHA pair
         from model.faster_rcnn.resnet_coatt_transformer_sk import resnet
@@ -167,8 +167,9 @@ def test_full_detector_eval_forward_parity(flavor):
 
     ref_cfg.POOLING_MODE = "align"  # every shipped recipe (cfgs/*.yml)
 
+    layers = 101 if flavor == "voc101" else 50  # voc101: the res101 recipe
     torch.manual_seed(3)
-    ref = resnet(("__background__", "fg"), 50, pretrained=False,
+    ref = resnet(("__background__", "fg"), layers, pretrained=False,
                  class_agnostic=True, num_K=3)
     ref.create_architecture()
     ref.eval()
@@ -189,11 +190,14 @@ def test_full_detector_eval_forward_parity(flavor):
 
     cfg = Config()  # defaults ARE the VOC flavor (mha co-attention,
     #                 faithful sk gate, causal mask, softmax dist)
-    if flavor == "coco":
-        import dataclasses
+    import dataclasses
 
+    if flavor == "coco":
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, coattention="nonlocal"))
+    elif flavor == "voc101":
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, backbone="resnet101"))
     model = AITDetector(cfg, dtype=jnp.float32)
     template = init_params(model, cfg, jax.random.PRNGKey(0))
     params = _fit_params(template, convert_detector(ref.state_dict()))

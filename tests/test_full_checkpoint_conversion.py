@@ -30,8 +30,9 @@ def flatten(tree, prefix=()):
     return out
 
 
-@pytest.mark.parametrize("flavor", ["voc", "coco"])
-def test_full_detector_conversion_coverage(flavor):
+@pytest.mark.parametrize("flavor,layers", [("voc", 50), ("coco", 50),
+                                           ("voc", 101)])
+def test_full_detector_conversion_coverage(flavor, layers):
     if flavor == "voc":
         from model.faster_rcnn.resnet_sys_transformer_sk_dilat import resnet
         coatt = "mha"
@@ -39,7 +40,9 @@ def test_full_detector_conversion_coverage(flavor):
         from model.faster_rcnn.resnet_coatt_transformer_sk import resnet
         coatt = "nonlocal"
     torch.manual_seed(0)
-    ref = resnet(("__background__", "fg"), 50, pretrained=False,
+    # layers=101 pins the res101 checkpoint layout (the 23-block layer3,
+    # resnet_sys_transformer_sk_dilat.py:358-394)
+    ref = resnet(("__background__", "fg"), layers, pretrained=False,
                  class_agnostic=True, num_K=3)
     ref.create_architecture()
     sd = ref.state_dict()
@@ -48,7 +51,8 @@ def test_full_detector_conversion_coverage(flavor):
     cfg = Config()
     import dataclasses
     cfg = cfg.replace(model=dataclasses.replace(
-        cfg.model, coattention=coatt, sk_gate="fixed"))
+        cfg.model, coattention=coatt, sk_gate="fixed",
+        backbone=f"resnet{layers}"))
     params = init_params(AITDetector(cfg), cfg, jax.random.PRNGKey(0))
     ours = flatten(params)
 
