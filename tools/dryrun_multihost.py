@@ -45,6 +45,8 @@ def worker_main():
     local = int(os.environ["AIT_MH_LOCAL"])
     port = os.environ["AIT_MH_PORT"]
     devkit = os.environ["AIT_MH_DEVKIT"]
+    phase = int(os.environ.get("AIT_MH_PHASE", "1"))
+    ckpt_dir = os.environ.get("AIT_MH_CKPT", "")
 
     flags = " ".join(
         f for f in os.environ.get("XLA_FLAGS", "").split()
@@ -102,13 +104,38 @@ def worker_main():
     step = jax.jit(make_sharded_train_step(model, tx, mesh),
                    donate_argnums=0)
 
-    batches = device_prefetch(
+    batches = iter(device_prefetch(
         loader.train_epoch(n_global, num_workers=1),
-        sharding=batch_sharding(mesh))
-    batch = next(iter(batches))
+        sharding=batch_sharding(mesh)))
+    batch = next(batches)
     # the local loader produced 1/P of the global batch; the assembled
     # global array must span all devices at the full batch size
     assert batch["image"].shape[0] == n_global, batch["image"].shape
+    batch2 = next(batches)  # for the checkpoint/resume continuation leg
+
+    from ait_tpu.train.checkpoint import CheckpointManager
+
+    if phase == 2:
+        # ---- pod RESUME: a FRESH process generation (the phase-1 workers
+        # exited = real kill) restores the collective checkpoint into a
+        # fresh sharded template and must continue bit-for-bit: its step on
+        # the SAME second batch (loader replay is deterministic: order_rng
+        # is host-invariant and seeded) must equal phase 1's uninterrupted
+        # MHNEXT loss on every host.
+        ckpt = CheckpointManager(ckpt_dir)
+        state = ckpt.restore(state)
+        assert state is not None and int(state.step) == 1, state
+        step_c = step.lower(state, batch2, jax.random.PRNGKey(2)).compile()
+        from jax._src import distributed as _jdist
+        _jdist.global_state.client.wait_at_barrier(
+            "ait_mh_resume_compiled", timeout_in_ms=1800 * 1000)
+        state, metrics = step_c(state, batch2, jax.random.PRNGKey(2))
+        jax.block_until_ready(metrics)
+        loss = float(metrics["loss"])
+        assert np.isfinite(loss), loss
+        print(f"MHRESUME pid={pid} loss={loss:.9e} step={int(state.step)}",
+              flush=True)
+        return
 
     # AOT-compile, then barrier on the COORDINATION service (gRPC — already
     # connected) before the first collective EXECUTION: executing opens the
@@ -125,6 +152,21 @@ def worker_main():
     assert np.isfinite(loss), loss
     print(f"MHLOSS pid={pid} loss={loss:.6f} step={int(state.step)}",
           flush=True)
+
+    # ---- pod CHECKPOINT: collective orbax save of the SHARDED state (the
+    # same call trainval_net.py makes every checkpoint_interval) — every
+    # process participates, the primary writes the replicated arrays
+    if ckpt_dir:
+        ckpt = CheckpointManager(ckpt_dir)
+        ckpt.save(int(state.step), state, metadata={"epoch": 1})
+        ckpt.wait()
+        print(f"MHSAVED pid={pid} step={int(state.step)}", flush=True)
+        # uninterrupted continuation on the second batch: the resume
+        # generation must reproduce this loss exactly
+        state, metrics = step_c(state, batch2, jax.random.PRNGKey(2))
+        jax.block_until_ready(metrics)
+        print(f"MHNEXT pid={pid} loss={float(metrics['loss']):.9e}",
+              flush=True)
 
     # ---- pod EVAL CLI: each host evaluates its disjoint pair slice, the
     # detections are merged across hosts (parallel/multihost.py), and the
@@ -163,7 +205,13 @@ _INIT_FLAKES = ("Gloo context initialization failed",
                 "CoordinationServiceError", "BarrierError")
 
 
-def _run_pod(args, devkit):
+def _scan(tag, outs):
+    return [float(m.group(1)) for out in outs
+            for m in [re.search(tag + r" pid=\d+ loss=([\d.eE+-]+)", out)]
+            if m]
+
+
+def _run_pod(args, devkit, phase=1, ckpt_dir=""):
     with socket.socket() as s:  # free port (small race, retried by caller)
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -175,7 +223,9 @@ def _run_pod(args, devkit):
                     "AIT_MH_PROCS": str(args.processes),
                     "AIT_MH_LOCAL": str(args.local_devices),
                     "AIT_MH_PORT": str(port),
-                    "AIT_MH_DEVKIT": devkit})
+                    "AIT_MH_DEVKIT": devkit,
+                    "AIT_MH_PHASE": str(phase),
+                    "AIT_MH_CKPT": ckpt_dir})
         procs.append(subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)], env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
@@ -193,15 +243,20 @@ def _run_pod(args, devkit):
         sys.stdout.write(out)
         ok = ok and p.returncode == 0
 
-    losses = [float(m.group(1)) for out in outs
-              for m in [re.search(r"MHLOSS pid=\d+ loss=([\d.eE+-]+)", out)]
-              if m]
+    if phase == 2:
+        resumes = _scan("MHRESUME", outs)
+        ok = ok and len(resumes) == args.processes and len(set(resumes)) == 1
+        return ok, resumes, [], "".join(outs)
+
+    losses = _scan("MHLOSS", outs)
+    nexts = _scan("MHNEXT", outs)
     maps = [float(m.group(1)) for out in outs
             for m in [re.search(r"MHEVAL pid=\d+ mAP=([\d.eE+-]+)", out)]
             if m]
     ok = ok and len(losses) == args.processes and len(set(losses)) == 1
+    ok = ok and len(nexts) == args.processes and len(set(nexts)) == 1
     ok = ok and len(maps) == args.processes and len(set(maps)) == 1
-    return ok, losses, maps, "".join(outs)
+    return ok, losses + nexts, maps, "".join(outs)
 
 
 def main(argv=None):
@@ -225,9 +280,11 @@ def main(argv=None):
 
     make_voc_devkit(devkit, image_set="trainval")
     make_voc_devkit(devkit, image_set="test")  # for the pod-eval phase
+    ckpt_dir = os.path.join(tmp, "pod_ckpt")
 
     for attempt in range(args.retries + 1):
-        ok, losses, maps, combined = _run_pod(args, devkit)
+        ok, losses, maps, combined = _run_pod(args, devkit,
+                                              ckpt_dir=ckpt_dir)
         if ok or attempt == args.retries or \
                 not any(sig in combined for sig in _INIT_FLAKES):
             break
@@ -235,9 +292,31 @@ def main(argv=None):
             f"dryrun_multihost: distributed-init flake; "
             f"retry {attempt + 1}/{args.retries}\n")
 
+    # ---- resume generation: phase-1 workers have EXITED (real process
+    # death); fresh workers restore the collective checkpoint and must
+    # reproduce phase 1's uninterrupted continuation loss bit for bit
+    resume_ok, resumes = False, []
+    if ok:
+        for attempt in range(args.retries + 1):
+            resume_ok, resumes, _, combined = _run_pod(
+                args, devkit, phase=2, ckpt_dir=ckpt_dir)
+            if resume_ok or attempt == args.retries or \
+                    not any(sig in combined for sig in _INIT_FLAKES):
+                break
+            sys.stderr.write(
+                f"dryrun_multihost: resume-leg init flake; "
+                f"retry {attempt + 1}/{args.retries}\n")
+        # losses = [MHLOSS x P, MHNEXT x P]; the resumed loss must equal
+        # the uninterrupted MHNEXT on every host
+        mhnext = losses[args.processes:]
+        resume_ok = resume_ok and bool(mhnext) and \
+            set(resumes) == set(mhnext)
+        ok = ok and resume_ok
+
     msg = {"ok": ok, "processes": args.processes,
            "local_devices": args.local_devices, "losses": losses,
-           "eval_map": maps}
+           "eval_map": maps,
+           "resume": {"ok": resume_ok, "losses": resumes}}
     print(json.dumps(msg))
     if args.record:
         with open(os.path.join(REPO, "MULTIHOST_r.json"), "w") as f:

@@ -28,6 +28,13 @@ import jax
 if os.environ.get("AIT_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["AIT_PLATFORM"])
 
+# persistent compile cache: repeat CLI runs skip the minutes-long cold
+# XLA/Mosaic compiles (same policy as bench.py / tools/*)
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 # hardware RNG for dropout/sampling keys: threefry mask generation
 # profiled at ~7 ms/train-step; rbg lowers to the TPU RngBitGenerator
 jax.config.update("jax_default_prng_impl", "rbg")
@@ -222,14 +229,17 @@ def main(argv=None):
     writer = (MetricWriter(os.path.join(output_dir, "logs"))
               if jax.process_index() == 0 else None)
 
-    model = AITDetector(cfg, dtype=jnp.bfloat16)
+    # conv/matmul compute dtype: --set tpu.compute_dtype float32 for
+    # exact-parity runs (params stay f32 either way)
+    dtype = jnp.dtype(cfg.tpu.compute_dtype)
+    model = AITDetector(cfg, dtype=dtype)
     # params are laid out identically under tensor parallelism (heads are
     # sharded at COMPUTE time inside shard_map, not in storage), but the tp
     # model's in-model collectives need the 'model' axis, which only exists
     # inside the sharded step — so initialize with a tp=1 twin of the config
     if int(cfg.tpu.tp_size) > 1:
         cfg_init = cfg.replace(tpu=dataclasses.replace(cfg.tpu, tp_size=1))
-        init_model = AITDetector(cfg_init, dtype=jnp.bfloat16)
+        init_model = AITDetector(cfg_init, dtype=dtype)
     else:
         init_model = model
     params = init_params(init_model, cfg, jax.random.PRNGKey(cfg.RNG_SEED))
@@ -339,10 +349,16 @@ def main(argv=None):
                                         "pairs_per_sec": pps}, prefix="perf")
             step = int(jax.device_get(state.step))
             if step % args.checkpoint_interval == 0:
-                ckpt.save(step, jax.device_get(state),
+                # pass the sharded jax.Arrays straight to orbax: save is a
+                # COLLECTIVE under multi-process (each host writes only the
+                # shards it owns, the primary writes replicated arrays and
+                # metadata) — a per-host device_get would race every host's
+                # full copy into the same files.  orbax's device->host copy
+                # completes inside save(), before the next donated step.
+                ckpt.save(step, state,
                           metadata={"epoch": epoch, "session": args.session})
         step = int(jax.device_get(state.step))
-        ckpt.save(step, jax.device_get(state),
+        ckpt.save(step, state,
                   metadata={"epoch": epoch, "session": args.session},
                   force=True)
         printer(f"Saved checkpoint at epoch {epoch}, step {step}")
