@@ -48,6 +48,14 @@ def init_params(model: AITDetector, cfg: Config, rng, *, batch=None):
     """
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
+        # default_device only steers ops whose operands are uncommitted; a
+        # caller-created rng key (or batch) lives COMMITTED on the default
+        # accelerator, and every eager op touching it would follow it back
+        # to the remote device — the exact crawl this wrapper exists to
+        # avoid.  Pull the inputs onto the CPU first.
+        rng = jax.device_put(rng, cpu)
+        if batch is not None:
+            batch = jax.device_put(batch, cpu)
         if batch is None:
             # params are canvas-independent (convs + fixed-width heads), so
             # init at a capped canvas — eager CPU init at 608x800 costs
