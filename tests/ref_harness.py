@@ -37,6 +37,29 @@ class _EasyDict(dict):
             raise AttributeError(k)
 
 
+def _bbox_iou_xywh(dt, gt, iscrowd):
+    """pycocotools _mask.iou for bbox lists ([x, y, w, h] rows): plain IoU,
+    except crowd gt divide by the DETECTION area only (maskApi.c bbIou)."""
+    import numpy as np
+
+    dt = np.asarray(dt, np.float64).reshape(-1, 4)
+    gt = np.asarray(gt, np.float64).reshape(-1, 4)
+    if len(dt) == 0 or len(gt) == 0:
+        return []
+    crowd = np.asarray(iscrowd, np.uint8).astype(bool)
+    ix1 = np.maximum(dt[:, None, 0], gt[None, :, 0])
+    iy1 = np.maximum(dt[:, None, 1], gt[None, :, 1])
+    ix2 = np.minimum(dt[:, None, 0] + dt[:, None, 2],
+                     gt[None, :, 0] + gt[None, :, 2])
+    iy2 = np.minimum(dt[:, None, 1] + dt[:, None, 3],
+                     gt[None, :, 1] + gt[None, :, 3])
+    inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+    da = (dt[:, 2] * dt[:, 3])[:, None]
+    ga = (gt[:, 2] * gt[:, 3])[None, :]
+    union = np.where(crowd[None, :], da, da + ga - inter)
+    return np.where(union > 0, inter / np.maximum(union, 1e-300), 0.0)
+
+
 def _module(name, **attrs):
     mod = types.ModuleType(name)
     for k, v in attrs.items():
@@ -94,10 +117,13 @@ def install():
 
     # vendored pycocotools' Cython _mask isn't built; datasets.factory
     # imports datasets.coco -> pycocotools.coco -> .mask at module level.
-    # The VOC paths never call these (COCO bbox eval goes through our own
-    # evaluator), so inert stubs suffice.
-    _module("pycocotools._mask", iou=noop, merge=noop, frPyObjects=noop,
-            encode=noop, decode=noop, area=noop, toBbox=noop)
+    # bbox-mode COCOeval calls exactly one of these — iou on [x,y,w,h]
+    # box lists (maskApi.c bbIou semantics incl. the crowd union) — so
+    # provide it for real; everything mask-typed stays inert (the live
+    # reference surface is bbox-only).
+    _module("pycocotools._mask", iou=_bbox_iou_xywh, merge=noop,
+            frPyObjects=noop, encode=noop, decode=noop, area=noop,
+            toBbox=noop)
 
     # module-level `stty size` calls need a tty
     real_popen = os.popen
