@@ -346,3 +346,38 @@ def convert_detector(state_dict: Dict[str, "object"]) -> dict:
                 continue
             continue
     return out
+
+
+def load_pretrained(params, path):
+    """Overlay a converted params pickle (tools/convert_torch_checkpoint.py
+    output, a nested dict of arrays) onto freshly-initialized params.
+
+    Partial trees are fine (backbone-only pretrains overlay just their
+    subtree, like the reference's strict=False backbone load,
+    resnet_sys_transformer_sk_dilat.py:379-394); keys absent from the init
+    tree are ignored (e.g. sk-gate params of the other sk_gate flavor).
+    Returns (params, n_loaded)."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    with open(path, "rb") as f:
+        loaded = pickle.load(f)
+
+    n = [0]
+
+    def rec(d, s, pre):
+        for k, v in s.items():
+            if k not in d:
+                continue
+            if isinstance(v, dict):
+                rec(d[k], v, pre + k + "/")
+            else:
+                assert d[k].shape == v.shape, (pre + k, d[k].shape, v.shape)
+                d[k] = jnp.asarray(v)
+                n[0] += 1
+
+    params = jax.tree_util.tree_map(lambda x: x, params)  # fresh containers
+    rec(params, loaded, "")
+    return params, n[0]

@@ -73,6 +73,13 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint_path", default=None,
                    help="explicit orbax checkpoint dir (else derived from "
                         "save_dir/net/dataset/version)")
+    p.add_argument("--pretrained", default=None,
+                   help="converted torch-checkpoint params pickle "
+                        "(tools/convert_torch_checkpoint.py output) to "
+                        "evaluate directly, bypassing orbax — the "
+                        "released-.pth AP-parity path "
+                        "(reference test_net_voc.py:275-276 loads the .pth "
+                        "state_dict the same way)")
     p.add_argument("--version", default="1.0.0")
     p.add_argument("--ls", dest="large_scale", action="store_true")
     p.add_argument("--cag", dest="class_agnostic", default=True)
@@ -224,7 +231,11 @@ def main(argv=None):
     ckpt_dir = args.checkpoint_path or os.path.join(
         args.save_dir, args.net, args.dataset, args.version, "ckpt")
     ckpt_step = 0
-    if os.path.isdir(ckpt_dir):
+    if args.pretrained:
+        from ait_tpu.convert import load_pretrained
+        params, n_loaded = load_pretrained(params, args.pretrained)
+        printer(f"Loaded {n_loaded} converted arrays from ", args.pretrained)
+    elif os.path.isdir(ckpt_dir):
         from ait_tpu.train import TrainState, lr_schedule, make_optimizer
         tx = make_optimizer(cfg, lr_schedule(0.01, 100, 4, 0.1))
         template = TrainState.create(params, tx)

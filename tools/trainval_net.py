@@ -152,34 +152,9 @@ def build_view(args, cfg):
 
 
 def load_pretrained(params, path):
-    """Overlay a converted .npz params file onto freshly-initialized params."""
-    import pickle
-
-    with open(path, "rb") as f:
-        loaded = pickle.load(f)
-
-    def overlay(dst, src, prefix=""):
-        n = [0]
-
-        def rec(d, s, pre):
-            for k, v in s.items():
-                if k not in d:
-                    continue
-                if isinstance(v, dict):
-                    rec(d[k], v, pre + k + "/")
-                else:
-                    assert d[k].shape == v.shape, (pre + k, d[k].shape,
-                                                  v.shape)
-                    d[k] = jnp.asarray(v)
-                    n[0] += 1
-        rec(dst, src, prefix)
-        return n[0]
-
-    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy-ish
-    import flax
-    params = flax.core.unfreeze(params) if hasattr(flax.core, "unfreeze") \
-        else params
-    count = overlay(params, loaded)
+    """Overlay a converted params pickle onto freshly-initialized params."""
+    from ait_tpu.convert import load_pretrained as _load
+    params, count = _load(params, path)
     printer(f"Loaded {count} pretrained arrays from ", path)
     return params
 
