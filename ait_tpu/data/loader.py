@@ -229,6 +229,55 @@ class OneShotLoader:
             "category": np.int32(cls),
         }
 
+    def fused_item(self, pair_index: int, shots: int):
+        """One pair with ALL `shots` query positions stacked ([A, q, q, 3])
+        and the target image ONCE — the input unit of the shot-fused eval
+        step (train.make_fused_eval_step).  Shot selection is identical to
+        test_item at each query_position: one seed-by-img-id shuffle, then
+        positions 0..A-1 of the same order (test_net_voc.py:320-322 runs
+        the same selector A times)."""
+        rec_idx, cls = self.pairs[pair_index]
+        rec = self.view.records[rec_idx]
+        pool = self.view.cat_data[cls]
+        pyrandom.seed(rec.img_id)
+        order = list(range(len(pool)))
+        pyrandom.shuffle(order)
+        queries = np.stack([
+            self._prep_query(pool[order[a % len(order)]], flip=False)
+            for a in range(shots)])
+
+        image, h, w, scale = self._prep_image(rec)
+        return {
+            "image": image,
+            "query": queries,
+            "im_info": np.array([h, w, scale], np.float32),
+            "gt_boxes": np.zeros((self.max_gt, 5), np.float32),
+            "num_boxes": np.int32(0),
+            "pair_index": np.int32(pair_index),
+            "record_index": np.int32(rec_idx),
+            "category": np.int32(cls),
+        }
+
+    def test_epoch_fused(self, unique_batch: int, shots: int, *,
+                         num_workers: int = 8, prefetch: int = 4
+                         ) -> Iterator[Dict[str, np.ndarray]]:
+        """Shot-fused epoch: batches of `unique_batch` pairs, each carrying
+        its `shots` queries (pair batch = unique_batch * shots).  Same pair
+        order / orientation grouping / tail padding as test_epoch."""
+        order = list(range(len(self.pairs)))
+        batches = []
+        for group in self._orientation_groups(
+                order,
+                lambda i: self._canvas_for(
+                    self.view.records[self.pairs[i][0]])):
+            pad = (-len(group)) % unique_batch
+            group = group + [group[-1]] * pad
+            batches.extend(group[i:i + unique_batch]
+                           for i in range(0, len(group), unique_batch))
+        yield from self._pipeline(
+            batches, lambda pi: self.fused_item(pi, shots),
+            num_workers, prefetch)
+
     # ---------------- native (C++) batch path -------------------------
     def _use_native(self) -> bool:
         # the native pipeline produces uint8 canvases; float mode (normalize

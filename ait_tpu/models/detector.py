@@ -150,12 +150,24 @@ class AITDetector(nn.Module):
             dtype=self.dtype)
 
     def __call__(self, image, query, im_info, gt_boxes, num_boxes,
-                 *, train: bool = False):
+                 *, train: bool = False, pair_image_idx=None):
+        """pair_image_idx (eval-only): [P] int map from pair row -> image
+        row, letting `image` hold only the UNIQUE images of the pair batch.
+        The query-independent image backbone — the heaviest per-pair eval
+        stage — then runs once per image instead of once per pair; the
+        reference's `--a N` shot-averaging protocol (test_net_voc.py:320)
+        re-runs it N times, and its bs=1 loop cannot amortize it."""
         c = self.cfg
         det = not train
-        b = image.shape[0]
+        b = query.shape[0]
 
         image_feat = self.backbone(_to_model_input(image, self.dtype))
+        if pair_image_idx is not None:
+            if train:
+                raise ValueError("pair_image_idx is an eval-path feature")
+            image_feat = image_feat[pair_image_idx]
+        else:
+            assert image.shape[0] == b, (image.shape, query.shape)
         query_scale = None
         if c.model.with_contextual_relation:
             query_feat, q_stages = self.backbone(

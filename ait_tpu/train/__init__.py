@@ -2,9 +2,10 @@
 
 from ait_tpu.train.optim import lr_schedule, make_optimizer, make_param_labels
 from ait_tpu.train.state import (TrainState, init_params, make_eval_step,
-                                 make_train_step)
+                                 make_fused_eval_step, make_train_step)
 
 __all__ = [
-    "TrainState", "init_params", "make_eval_step", "make_train_step",
+    "TrainState", "init_params", "make_eval_step", "make_fused_eval_step",
+    "make_train_step",
     "lr_schedule", "make_optimizer", "make_param_labels",
 ]

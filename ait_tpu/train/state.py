@@ -177,3 +177,31 @@ def make_eval_step(model: AITDetector) -> Callable:
                 "bbox_pred": out.bbox_pred}
 
     return eval_step
+
+
+def make_fused_eval_step(model: AITDetector) -> Callable:
+    """Shot-fused eval step: batch holds U unique images and their A query
+    shots ('query' is [U, A, q, q, 3]); the image backbone runs at batch U
+    and its features are gathered to the U*A pair rows (pair_image_idx), so
+    the reference's `--a A` protocol pays the target-image backbone once
+    instead of A times.  Outputs are pair-major [U*A, ...] with shot a of
+    unique pair u at row u*A + a — numerically the same per-pair program as
+    make_eval_step (the gather is exact)."""
+
+    def eval_step(params, batch):
+        image = batch["image"]
+        query = batch["query"]
+        u, a = query.shape[0], query.shape[1]
+        p = u * a
+        query = query.reshape((p,) + query.shape[2:])
+        im_info = jnp.repeat(batch["im_info"], a, axis=0)
+        idx = jnp.repeat(jnp.arange(u, dtype=jnp.int32), a)
+        g = batch["gt_boxes"]
+        gt = jnp.zeros((p,) + g.shape[1:], g.dtype)
+        nb = jnp.zeros((p,), jnp.int32)
+        out = model.apply({"params": params}, image, query, im_info,
+                          gt, nb, train=False, pair_image_idx=idx)
+        return {"rois": out.rois, "cls_prob": out.cls_prob,
+                "bbox_pred": out.bbox_pred, "im_info": im_info}
+
+    return eval_step

@@ -76,6 +76,46 @@ def main():
     print(f"serving: {dt * 1e3:.1f} ms/batch-{BATCH} "
           f"({BATCH / dt:.1f} pairs/sec/chip)")
 
+    # ---- shot-fused serving (--a 4 protocol): U unique images x 4 shots
+    # share one image-backbone pass (train.make_fused_eval_step); same
+    # pair batch, so the delta is pure amortization
+    from ait_tpu.train import make_fused_eval_step
+
+    shots = 4
+    u = BATCH // shots
+    fb = {
+        "image": batch["image"][:u],
+        "query": batch["query"][:u * shots].reshape(
+            (u, shots) + batch["query"].shape[1:]),
+        "im_info": batch["im_info"][:u],
+        "gt_boxes": batch["gt_boxes"][:u],
+    }
+    fev = make_fused_eval_step(model)
+
+    @jax.jit
+    def serve_fused(params, fb):
+        out = fev(params, fb)
+        dets, valid = postprocess_detections(
+            out["rois"], out["cls_prob"], out["bbox_pred"],
+            out["im_info"], nms_thresh=t.NMS, score_thresh=0.0,
+            max_per_image=t.MAX_PER_IMAGE,
+            bbox_normalize_means=cfg.TRAIN.BBOX_NORMALIZE_MEANS,
+            bbox_normalize_stds=cfg.TRAIN.BBOX_NORMALIZE_STDS)
+        return dets.sum(), valid.sum()
+
+    for _ in range(WARMUP):
+        s, v = serve_fused(params, fb)
+    float(s)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        s, v = serve_fused(params, fb)
+    float(s)
+    dt_f = (time.perf_counter() - t0) / ITERS
+    print(f"serving fused (--a {shots}, {u} imgs): "
+          f"{dt_f * 1e3:.1f} ms/batch-{BATCH} "
+          f"({BATCH / dt_f:.1f} pairs/sec/chip, "
+          f"{dt / dt_f:.2f}x vs per-pass)")
+
 
 if __name__ == "__main__":
     main()

@@ -85,6 +85,11 @@ def parse_args(argv=None):
     p.add_argument("--cag", dest="class_agnostic", default=True)
     p.add_argument("--with_cache_file", action="store_true",
                    help="reuse cached detections instead of re-running")
+    p.add_argument("--fuse_shots", action="store_true",
+                   help="evaluate all --a query shots in one sweep, "
+                        "computing the target-image backbone once per "
+                        "image instead of once per shot (single-device; "
+                        "same detections as the per-pass protocol)")
     p.add_argument("--output_dir", default="output")
     p.add_argument("--debug", action="store_true",
                    help="truncate to 10 pairs")
@@ -180,6 +185,42 @@ def run_pass(loader, eval_step, post, params, args, allowed,
         if args.debug and len(done) >= 10:
             break
     return all_boxes
+
+
+def run_fused(loader, fused_step, post, params, args, allowed):
+    """One sweep over unique pairs, all shots at once ->
+    [all_boxes per shot].  Pair rows come back pair-major: shot a of
+    unique pair u at row u * A + a (train.make_fused_eval_step)."""
+    shots = args.average
+    by_shot = [{ci: {} for ci in allowed} for _ in range(shots)]
+    done = set()
+    t0 = time.time()
+    u = max(1, args.batch_size // shots)
+    printer(f"Shot-fused pass: {u} images x {shots} shots per step")
+    for batch in loader.test_epoch_fused(u, shots,
+                                         num_workers=args.num_workers):
+        dev = {k: jax.device_put(np.asarray(v)) for k, v in batch.items()
+               if k in ("image", "query", "im_info", "gt_boxes")}
+        out = fused_step(params, dev)
+        dets, valid = post(out["rois"], out["cls_prob"], out["bbox_pred"],
+                           out["im_info"])
+        dets = np.asarray(dets)
+        valid = np.asarray(valid)
+        for i in range(len(batch["pair_index"])):
+            pi = int(batch["pair_index"][i])
+            if pi in done:
+                continue
+            done.add(pi)
+            ci = int(batch["category"][i])
+            ri = int(batch["record_index"][i])
+            for a in range(shots):
+                row = i * shots + a
+                by_shot[a][ci][ri] = dets[row][valid[row]]
+        if len(done) % (50 * u) < u:
+            rate = len(done) * shots / max(time.time() - t0, 1e-9)
+            printer(f"  {len(done)}/{len(loader.pairs)} unique pairs "
+                    f"({rate:.1f} pairs/s incl. shots)")
+    return by_shot
 
 
 def main(argv=None):
@@ -308,6 +349,24 @@ def main(argv=None):
         write_experiment_info(comp_id, os.path.join(args.output_dir,
                                                     "experiment.info"))
 
+    # shot-fused eval (--fuse_shots): ONE sweep over unique pairs computes
+    # all --a shots together; the image backbone — the heaviest
+    # query-independent stage — runs once per image instead of once per
+    # shot (train.make_fused_eval_step).  Detections per (shot, pair) are
+    # identical to the per-pass protocol up to the exactness of the
+    # feature gather (tests/test_cli_eval.py pins CLI-vs-CLI equality).
+    fused_boxes = None
+    if args.fuse_shots and args.average > 1 and not args.with_cache_file:
+        if jax.process_count() > 1:
+            raise SystemExit("--fuse_shots is a single-host path; drop "
+                             "it or the pod flags")
+        from ait_tpu.train import make_fused_eval_step
+        # single-device program: pull params off any eval mesh layout
+        params_local = jax.device_put(jax.device_get(params))
+        fused_boxes = run_fused(
+            loader, jax.jit(make_fused_eval_step(model)), post,
+            params_local, args, view.allowed_classes)
+
     results = []
     for avg in range(args.average):
         loader.query_position = avg
@@ -319,6 +378,11 @@ def main(argv=None):
             with open(det_file, "rb") as f:
                 all_boxes = pickle.load(f)
             printer("Loaded cached detections: ", det_file)
+        elif fused_boxes is not None:
+            all_boxes = fused_boxes[avg]
+            if proc0:
+                with open(det_file, "wb") as f:
+                    pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)
         else:
             printer(f"Query-shot pass {avg + 1}/{args.average}")
             all_boxes = run_pass(loader, eval_step, post, params, args,
