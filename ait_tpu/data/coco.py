@@ -141,8 +141,10 @@ def load_coco(data_path: str, year: str, image_set: str,
             img_id=im_id, image_path=path, width=w, height=h,
             boxes=np.asarray(boxes, np.float32).reshape(n, 4),
             gt_classes=np.asarray(cls, np.int32),
-            # reuse `difficult` to carry iscrowd: the loader drops these from
-            # training gt, mirroring the overlaps=-1 convention
+            # reuse `difficult` to carry iscrowd; under the default
+            # TRAIN.USE_ALL_GT=True crowd boxes stay in the training gt like
+            # the reference's (config.py:160-161, minibatch.py:38-44), and
+            # the loader drops them only when that knob is False
             difficult=np.asarray(crowd, np.int32))
         records.append(rec)
 

@@ -95,6 +95,14 @@ class OneShotLoader:
                          and cfg.model.backbone.startswith("resnet")
                          and self.canvas[0] % 2 == 0
                          and self.canvas[1] % 2 == 0)
+        # TRAIN.USE_ALL_GT=False (config.py:160-161, minibatch.py:38-44):
+        # exclude iscrowd gt from COCO training batches.  iscrowd rides the
+        # records' `difficult` field for coco views only — VOC's difficult
+        # flag is NOT excluded under this knob (the reference keys on the
+        # crowd overlaps=-1 convention, which VOC never sets).
+        self.drop_crowd_gt = (training
+                              and not bool(cfg.TRAIN.USE_ALL_GT)
+                              and view.name.startswith("coco"))
 
         if training:
             if cfg.TRAIN.USE_FLIPPED:
@@ -104,11 +112,19 @@ class OneShotLoader:
             self.pairs: List[Tuple[int, int]] = []
         else:
             aset = set(view.allowed_classes)
-            self.pairs = [
-                (i, int(c))
-                for i, r in enumerate(view.records)
-                for c in np.unique(r.gt_classes) if int(c) in aset
-            ]
+            # eval pairs come from the reference's np.unique(max_classes)
+            # (test_rank_roidb_ratio, roidb.py:116-120); COCO crowd rows
+            # carry overlaps=-1 whose argmax is class 0, so a class present
+            # ONLY as crowd creates no pair (iscrowd rides `difficult` for
+            # coco views; VOC's difficult boxes keep normal overlaps and DO
+            # pair — pascal_voc.py:241 comments out its use_diff filter)
+            is_coco = view.name.startswith("coco")
+            self.pairs = []
+            for i, r in enumerate(view.records):
+                cls = (r.gt_classes[r.difficult == 0] if is_coco
+                       else r.gt_classes)
+                self.pairs.extend((i, int(c)) for c in np.unique(cls)
+                                  if int(c) in aset)
             self.freq = {}
 
     # ------------------------------------------------------------------
@@ -174,6 +190,8 @@ class OneShotLoader:
         rec = self.view.records[index]
         aset = set(self.view.allowed_classes)
         keep = np.array([int(c) in aset for c in rec.gt_classes], bool)
+        if self.drop_crowd_gt:
+            keep &= rec.difficult == 0
         boxes = rec.boxes[keep].astype(np.float32)
         classes = rec.gt_classes[keep]
 
@@ -301,6 +319,8 @@ class OneShotLoader:
         rec = self.view.records[index]
         aset = set(self.view.allowed_classes)
         keep = np.array([int(c) in aset for c in rec.gt_classes], bool)
+        if self.drop_crowd_gt:
+            keep &= rec.difficult == 0
         boxes = rec.boxes[keep].astype(np.float32)
         classes = rec.gt_classes[keep]
         cand = np.unique(classes)

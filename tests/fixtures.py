@@ -83,7 +83,12 @@ COCO_CAT_IDS = [
 COCO_SYS_FIXTURE = [
     (1, [(1, 16, 16, 96, 112), (2, 48, 32, 144, 120)]),
     (2, [(5, 7, 7, 67, 85), (5, 80, 14, 147, 114)]),
-    (3, [(9, 21, 17, 124, 105)]),
+    # image 3 carries an iscrowd box (6th field) of a class that appears
+    # nowhere else in the image — pins crowd behavior through the pair
+    # enumeration (prepare_roidb argmaxes the -1 overlap row to class 0, so
+    # a crowd-only class creates NO eval pair), the USE_ALL_GT gt gate, and
+    # the inverse-frequency table (crowd instances DO count)
+    (3, [(9, 21, 17, 124, 105), (22, 40, 60, 130, 118, 1)]),
     (4, [(1, 13, 10, 88, 84), (14, 64, 15, 152, 121)]),
     (5, [(3, 22, 14, 128, 105), (5, 32, 27, 96, 116)]),
     (6, [(14, 30, 22, 140, 110)]),
@@ -137,11 +142,13 @@ def make_coco_devkit(root, image_set="val", year="2017", fixture=None,
         images.append({"id": img_id, "width": w, "height": h,
                        "file_name": fn})
         ref_pkl[img_id] = {i: {} for i in range(len(objs))}
-        for cat, x1, y1, x2, y2 in objs:
+        for obj in objs:
+            cat, x1, y1, x2, y2 = obj[:5]
+            crowd = obj[5] if len(obj) > 5 else 0
             bw, bh = float(x2 - x1 + 1), float(y2 - y1 + 1)
             anns.append({"id": aid, "image_id": img_id, "category_id": cat,
                          "bbox": [float(x1), float(y1), bw, bh],
-                         "area": bw * bh, "iscrowd": 0})
+                         "area": bw * bh, "iscrowd": int(crowd)})
             aid += 1
     doc = {"images": images, "annotations": anns,
            "categories": [{"id": c, "name": f"c{c}"} for c in COCO_CAT_IDS]}

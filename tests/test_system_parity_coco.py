@@ -58,7 +58,8 @@ SMALL = [
 ]
 
 
-def _ref_coco_dataset(tmp_path, *, seen=2, group=1, small=True):
+def _ref_coco_dataset(tmp_path, *, seen=2, group=1, small=True,
+                      training=False):
     ref_cfg = _ref_cfg()
     ref_cfg.DATA_DIR = str(tmp_path)
     ref_cfg.TRAIN.USE_FLIPPED = False
@@ -68,8 +69,9 @@ def _ref_coco_dataset(tmp_path, *, seen=2, group=1, small=True):
         ref_cfg.TEST.RPN_PRE_NMS_TOP_N = 256
         ref_cfg.TEST.RPN_POST_NMS_TOP_N = 32
     ref_cfg.POOLING_MODE = "align"
-    # the coco dispatch (test_net_coco.py:200-203) + cfgs/res50_1.yml group
+    # the coco dispatch (test_net_coco.py:200-205) + cfgs/res50_1.yml group
     ref_cfg.ANCHOR_SCALES = [4, 8, 16, 32]
+    ref_cfg.MAX_NUM_GT_BOXES = 50
     ref_cfg.train_categories = [group]
     ref_cfg.test_categories = [group]
 
@@ -77,10 +79,10 @@ def _ref_coco_dataset(tmp_path, *, seen=2, group=1, small=True):
     from roi_data_layer.roidb import combined_roidb
 
     imdb, roidb, ratio_list, ratio_index, query = combined_roidb(
-        "coco_2017_val", False, seen=seen)
+        "coco_2017_val", training, seen=seen)
     imdb.competition_mode(on=True)  # no salt, no cleanup of unwritten files
     ds = roibatchLoader(roidb, ratio_list, ratio_index, query, 1,
-                        imdb.num_classes, training=False, seen=seen)
+                        imdb.num_classes, training=training, seen=seen)
     assert imdb.num_classes == 81  # the loader's coco branch requires it
     return imdb, roidb, ds, ratio_index
 
@@ -332,3 +334,88 @@ def test_full_system_eval_parity_coco(tmp_path, monkeypatch):
             np.asarray(stats, np.float64)[:2], ref_stats[avg][:2],
             rtol=0, atol=1e-8,
             err_msg=f"shot {avg}: evaluator mismatch")
+
+
+# ---------------------------------------------------------------------------
+# 3. Data layer, train mode: coco branch under forced sampling decisions
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("use_all_gt", [True, False])
+def test_data_layer_train_parity_coco(tmp_path, monkeypatch, use_all_gt):
+    """The coco TRAIN item pipeline vs roibatchLoader under forced draws:
+    the hardcoded coco class table -> list_ind gt filter, the
+    inverse-frequency table (crowd instances count), binary relabel, query
+    crop from the pkl-gated pool, MAX_NUM_GT_BOXES=50 padding, and the
+    USE_ALL_GT crowd gate (config.py:160-161, minibatch.py:38-44) in BOTH
+    settings — image 3's iscrowd box must appear in the training gt under
+    the reference's default True and vanish under False."""
+    import random as pyrandom
+
+    monkeypatch.chdir(tmp_path)
+    make_coco_devkit(str(tmp_path))
+    _install_shims()
+
+    # force the reference's draws: first exemplar, no hflip, identity gt
+    # shuffle, first class choice (same forcing as the VOC train test)
+    monkeypatch.setattr(pyrandom, "choice", lambda seq: seq[0])
+    monkeypatch.setattr(pyrandom, "randint", lambda a, b: 0)
+    monkeypatch.setattr(np.random, "shuffle", lambda x: None)
+    _orig_choice = np.random.choice
+    monkeypatch.setattr(
+        np.random, "choice",
+        lambda cand, n=1, p=None: np.asarray([cand[0]])
+        if p is not None else _orig_choice(cand, n))
+
+    ref_cfg = _ref_cfg()
+    ref_cfg.TRAIN.USE_ALL_GT = use_all_gt
+    imdb, roidb, ds, ratio_index = _ref_coco_dataset(tmp_path,
+                                                     training=True)
+
+    from test_system_parity import _ForcedRng
+
+    from ait_tpu.data import OneShotLoader
+
+    cfg = _our_cfg().override([
+        "TRAIN.SCALES", "(128,)",
+        "TRAIN.USE_FLIPPED", "False",
+        "TRAIN.USE_ALL_GT", repr(use_all_gt),
+    ])
+    view = _our_view(tmp_path)
+    loader = OneShotLoader(view, cfg, training=True)
+    loader.rng = _ForcedRng()
+
+    # inverse-frequency table parity (roibatchLoader.probability,
+    # :365-383) — deterministic, no forcing involved
+    assert set(ds.show_time) == set(loader.freq)
+    for ci in ds.show_time:
+        np.testing.assert_allclose(loader.freq[ci], ds.show_time[ci],
+                                   rtol=1e-12)
+
+    # align items by img_id (training ratio_index is the aspect-ratio sort)
+    our_by_img = {view.records[i].img_id: i
+                  for i in range(len(view.records))}
+    crowd_seen = 0
+    for i in range(len(ratio_index)):
+        rec = roidb[int(ratio_index[i])]
+        r_img, r_query, r_info, r_gt, r_n = ds[i]
+        ours = loader.train_item(our_by_img[rec["img_id"]])
+
+        r_info = r_info.numpy().reshape(-1)
+        h, w = int(ours["im_info"][0]), int(ours["im_info"][1])
+        assert abs(int(r_info[0]) - h) <= 1 and abs(int(r_info[1]) - w) <= 1
+        np.testing.assert_allclose(ours["im_info"][2], r_info[2], rtol=1e-6)
+
+        r_img = r_img.numpy().transpose(1, 2, 0)
+        np.testing.assert_allclose(ours["image"][:h, :w], r_img[:h, :w],
+                                   atol=1e-5)
+        r_query = r_query.numpy().transpose(1, 2, 0)
+        np.testing.assert_allclose(ours["query"], r_query, atol=1e-5)
+
+        np.testing.assert_array_equal(int(ours["num_boxes"]), int(r_n))
+        np.testing.assert_allclose(ours["gt_boxes"], r_gt.numpy(),
+                                   atol=1e-4)
+        if rec["img_id"] == 3:
+            # the crowd gate: 2 gt rows under USE_ALL_GT, 1 without
+            assert int(r_n) == (2 if use_all_gt else 1)
+            crowd_seen += 1
+    assert crowd_seen == 1
