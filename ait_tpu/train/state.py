@@ -74,7 +74,13 @@ def init_params(model: AITDetector, cfg: Config, rng, *, batch=None):
         rngs = {"params": rng, "dropout": jax.random.PRNGKey(0),
                 "sampling": jax.random.PRNGKey(1)}
         variables = model.init(rngs, *batch_tuple(batch), train=False)
-    return variables["params"]
+    # return UNCOMMITTED host arrays: CPU-COMMITTED jax arrays silently pull
+    # any downstream jit onto the CPU backend (jit honors the committed
+    # device of its arguments), which made the kernel-parity gate's "jit
+    # step" run on host while its shard_map twin ran on the TPU — a ~1e-2
+    # cross-backend divergence masquerading as a parity failure
+    import numpy as np
+    return jax.tree_util.tree_map(np.asarray, variables["params"])
 
 
 def grads_and_metrics(model: AITDetector, params, batch, rng,

@@ -195,6 +195,12 @@ def sharded_step_n1():
                          batch=jax.tree_util.tree_map(lambda x: x[:1],
                                                       batch))
     tx = make_optimizer(cfg, lr_schedule(0.01, 100, 4, 0.1))
+    # pin both programs to the accelerator explicitly — a CPU-committed
+    # param tree would silently pull the plain jit onto the host backend
+    # and the comparison would measure CPU-vs-TPU drift, not shard_map
+    dev = jax.devices()[0]
+    params = jax.device_put(params, dev)
+    batch = jax.device_put(batch, dev)
     state = TrainState.create(params, tx)
     key = jax.random.PRNGKey(11)
 
