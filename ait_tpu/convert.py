@@ -372,12 +372,26 @@ def load_pretrained(params, path):
             if k not in d:
                 continue
             if isinstance(v, dict):
+                if not isinstance(d[k], dict):
+                    raise ValueError(
+                        f"structure mismatch at '{pre + k}': the pickle has "
+                        f"a subtree but the model has a leaf "
+                        f"{getattr(d[k], 'shape', type(d[k]))}")
                 rec(d[k], v, pre + k + "/")
             else:
+                if isinstance(d[k], dict):
+                    raise ValueError(
+                        f"structure mismatch at '{pre + k}': the pickle has "
+                        f"a leaf {v.shape} but the model has a subtree")
                 assert d[k].shape == v.shape, (pre + k, d[k].shape, v.shape)
                 d[k] = jnp.asarray(v)
                 n[0] += 1
 
     params = jax.tree_util.tree_map(lambda x: x, params)  # fresh containers
+    if not isinstance(params, dict):
+        # older flax returns FrozenDict trees; tree_map preserves the
+        # container type, and the in-place overlay below needs plain dicts
+        import flax.core
+        params = flax.core.unfreeze(params)
     rec(params, loaded, "")
     return params, n[0]

@@ -55,6 +55,18 @@ def _read(path: str) -> np.ndarray:
     return to_rgb3(np.asarray(imageio.imread(path)))
 
 
+def _shot_order(img_id: int, n: int) -> list:
+    """The reference's seed-by-img-id deterministic shot shuffle
+    (roibatchLoader.py:299-307).  A LOCAL Random(img_id) produces the
+    identical Mersenne sequence as `random.seed(img_id); random.shuffle`
+    while staying thread-safe under the ThreadPoolExecutor pipeline
+    (seeding the global module from concurrent workers would make shot
+    selection timing-dependent)."""
+    order = list(range(n))
+    pyrandom.Random(img_id).shuffle(order)
+    return order
+
+
 class OneShotLoader:
     """Train/eval batch producer for one dataset view."""
 
@@ -228,10 +240,7 @@ class OneShotLoader:
         rec_idx, cls = self.pairs[pair_index]
         rec = self.view.records[rec_idx]
         pool = self.view.cat_data[cls]
-        # the reference's seed-by-img-id deterministic shot selection
-        pyrandom.seed(rec.img_id)
-        order = list(range(len(pool)))
-        pyrandom.shuffle(order)
+        order = _shot_order(rec.img_id, len(pool))
         exemplar = pool[order[self.query_position % len(order)]]
         query = self._prep_query(exemplar, flip=False)
 
@@ -257,9 +266,7 @@ class OneShotLoader:
         rec_idx, cls = self.pairs[pair_index]
         rec = self.view.records[rec_idx]
         pool = self.view.cat_data[cls]
-        pyrandom.seed(rec.img_id)
-        order = list(range(len(pool)))
-        pyrandom.shuffle(order)
+        order = _shot_order(rec.img_id, len(pool))
         queries = np.stack([
             self._prep_query(pool[order[a % len(order)]], flip=False)
             for a in range(shots)])
@@ -404,9 +411,7 @@ class OneShotLoader:
         for (ri, cls) in pairs:
             rec = self.view.records[ri]
             pool = self.view.cat_data[cls]
-            pyrandom.seed(rec.img_id)
-            order = list(range(len(pool)))
-            pyrandom.shuffle(order)
+            order = _shot_order(rec.img_id, len(pool))
             exemplars.append(pool[order[self.query_position % len(order)]])
         canvases, info = self._native_targets(recs, n_threads)
         queries = self._native_queries(exemplars, [False] * len(pairs),

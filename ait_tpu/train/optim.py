@@ -5,7 +5,11 @@ The reference builds one param-group per tensor (trainval_net_voc.py:289-296):
   * weights: lr, WEIGHT_DECAY;
   * params with requires_grad=False (stem conv/bn + every BatchNorm affine,
     resnet_sys_transformer_sk_dilat.py:260-261,435-441) are excluded.
-Optionally Adam at 0.1x lr (trainval_net_voc.py:298-303).
+Optionally Adam (trainval_net_voc.py:298-303).  Note the reference's
+`lr = lr * 0.1` there is display-only: every param group carries an
+explicit 'lr' key that overrides the optimizer-level default, so its Adam
+actually steps at the group lrs (base / 2x-bias).  The CLI here passes
+args.lr unscaled, matching the real behavior.
 
 Weight decay is torch-style coupled L2 (added to the gradient before the
 momentum buffer), reproduced here as add_decayed_weights before trace.

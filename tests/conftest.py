@@ -59,3 +59,20 @@ if not os.path.exists(_SO):
 @pytest.fixture
 def rng():
     return np.random.RandomState(3)
+
+
+@pytest.fixture(autouse=True)
+def _isolate_reference_cfg():
+    """Restore the reference's global cfg EasyDict after every test.
+
+    Several parity tests mutate `model.utils.config.cfg` (ANCHOR_SCALES,
+    NMS tops, scales, ...) for their scenario; without a restore the next
+    test that builds a torch reference model inherits those — a real
+    order-dependent failure (12-anchor rpn head vs the converter's 9).
+    ref_harness.install() snapshots the import-time defaults; this puts
+    them back in place."""
+    yield
+    import sys as _sys
+    rh = _sys.modules.get("ref_harness")
+    if rh is not None:
+        rh.restore_cfg()

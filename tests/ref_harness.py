@@ -128,9 +128,54 @@ def install():
     # module-level `stty size` calls need a tty
     real_popen = os.popen
     os.popen = lambda *a, **k: io.StringIO("24 80")
+
+    # Capture the reference cfg's import-time defaults BEFORE any test can
+    # mutate the global EasyDict (tests set ANCHOR_SCALES, NMS tops, ... and
+    # used to leak them into later tests — an order-dependent failure the
+    # round-4 verdict root-caused).  conftest restores after every test.
+    global _CFG_PRISTINE
+    if _CFG_PRISTINE is None:
+        from model.utils.config import cfg
+        _CFG_PRISTINE = _plain_tree(cfg)
     return real_popen
 
 
 def restore_popen(real_popen):
     if real_popen is not None:
         os.popen = real_popen
+
+
+# ---------------------------------------------------------------------------
+# Reference-cfg isolation: snapshot at install(), restore after each test
+# ---------------------------------------------------------------------------
+
+_CFG_PRISTINE = None
+
+
+def _plain_tree(d):
+    import copy
+    return {k: _plain_tree(v) if isinstance(v, dict) else copy.deepcopy(v)
+            for k, v in d.items()}
+
+
+def _restore_into(ed, snap):
+    import copy
+    for k in list(ed.keys()):
+        if k not in snap:
+            dict.__delitem__(ed, k)
+            ed.__dict__.pop(k, None)
+    for k, v in snap.items():
+        if isinstance(v, dict) and isinstance(ed.get(k), dict):
+            _restore_into(ed[k], v)
+        else:
+            ed[k] = copy.deepcopy(v)
+
+
+def restore_cfg():
+    """Reset the reference's global cfg EasyDict (in place — every module
+    that did `from model.utils.config import cfg` holds the same object) to
+    its import-time defaults.  No-op until install() has run."""
+    if _CFG_PRISTINE is None or "model.utils.config" not in sys.modules:
+        return
+    from model.utils.config import cfg
+    _restore_into(cfg, _CFG_PRISTINE)

@@ -103,16 +103,20 @@ def test_sgd_chain_matches_torch_exactly(decay):
 
 def test_adam_chain_matches_torch():
     """The reference's --optimizer adam branch (trainval_net_voc.py:298-303):
-    torch.optim.Adam over the same groups at 0.1x lr.  torch Adam and
-    optax.scale_by_adam use the same bias-corrected update; per-group lr and
-    decoupled-vs-coupled decay mistakes would show immediately."""
+    torch.optim.Adam over the same per-param groups.  (Its `lr = lr * 0.1`
+    is display-only — every group carries an explicit 'lr' key that
+    overrides the optimizer default, so the reference Adam steps at the
+    group lrs; both sides here use the same base lr, as the CLI does.)
+    torch Adam and optax.scale_by_adam use the same bias-corrected update;
+    per-group lr and decoupled-vs-coupled decay mistakes would show
+    immediately."""
     rng = np.random.RandomState(1)
     p0 = _tree0(rng)
     grads = [_grad(rng) for _ in range(N_STEPS)]
 
     cfg = Config()
     t = cfg.TRAIN
-    lr = BASE_LR * 0.1
+    lr = BASE_LR
 
     w = torch.nn.Parameter(torch.from_numpy(p0["head"]["kernel"].copy()))
     b = torch.nn.Parameter(torch.from_numpy(p0["head"]["bias"].copy()))

@@ -216,10 +216,17 @@ def run_fused(loader, fused_step, post, params, args, allowed):
             for a in range(shots):
                 row = i * shots + a
                 by_shot[a][ci][ri] = dets[row][valid[row]]
+            if args.visualization:
+                _save_vis(loader, ri, by_shot[0][ci][ri],
+                          batch["query"][i][0], "test_img", pi)
         if len(done) % (50 * u) < u:
             rate = len(done) * shots / max(time.time() - t0, 1e-9)
             printer(f"  {len(done)}/{len(loader.pairs)} unique pairs "
                     f"({rate:.1f} pairs/s incl. shots)")
+        # same truncation contract as run_pass: --debug covers the first
+        # 10 pairs so fused-vs-per-pass comparisons see identical sets
+        if args.debug and len(done) >= 10:
+            break
     return by_shot
 
 
@@ -356,6 +363,13 @@ def main(argv=None):
     # identical to the per-pass protocol up to the exactness of the
     # feature gather (tests/test_cli_eval.py pins CLI-vs-CLI equality).
     fused_boxes = None
+    if args.fuse_shots and not (args.average > 1
+                                and not args.with_cache_file):
+        # don't silently run the per-pass path when the user asked for
+        # fusion: at --a 1 fusion is an identity gather (no savings) and
+        # --with_cache_file skips inference entirely
+        printer("--fuse_shots ignored: ",
+                "it needs --a > 1 and no --with_cache_file")
     if args.fuse_shots and args.average > 1 and not args.with_cache_file:
         if jax.process_count() > 1:
             raise SystemExit("--fuse_shots is a single-host path; drop "
