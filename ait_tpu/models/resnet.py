@@ -255,3 +255,50 @@ class ResNetTop(nn.Module):
         _, _, _, n4 = STAGES[self.variant]
         x = ResNetStage(512, n4, 2, self.dtype, name="layer4")(x)
         return jnp.mean(x, axis=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# Eval-time constant folding
+# ---------------------------------------------------------------------------
+
+_BN_OF_CONV = {"conv1": "bn1", "conv2": "bn2", "conv3": "bn3",
+               "downsample_conv": "downsample_bn"}
+
+
+def fold_frozen_bn(params, eps: float = 1e-5):
+    """Fold every FrozenBatchNorm into its preceding conv's kernel (EVAL
+    path; exact — the BN is a constant affine for the whole run, so
+    conv(x; k)*w + b == conv(x; k*w) + b).
+
+    Returns a params copy where each paired conv kernel is scaled by
+    w = scale * rsqrt(var + eps) per output channel and the BN params are
+    rewritten to compute EXACTLY x + b' (scale=1, var=1-eps with
+    (1-eps)+eps == 1.0 in f32 and rsqrt(1)=1, mean=0, bias = b - m*w) —
+    the module code is untouched, so the folded tree drops into any eval
+    step.  The BN multiply chain (and its bf16 cast churn) disappears from
+    the compiled program; the A/B on chip is recorded in PERFORMANCE.md.
+
+    NOT for training: the optimizer treats conv kernels as live params, so
+    a folded kernel would train on the scaled parameterization.
+    """
+    import jax.numpy as jnp
+
+    def walk(d):
+        out = {k: (walk(v) if isinstance(v, dict) else v)
+               for k, v in d.items()}
+        for ck, bk in _BN_OF_CONV.items():
+            if not (isinstance(out.get(ck), dict)
+                    and isinstance(out.get(bk), dict)):
+                continue
+            conv, bn = out[ck], out[bk]
+            if "kernel" not in conv or "var" not in bn:
+                continue
+            w = bn["scale"] * jax.lax.rsqrt(bn["var"] + eps)
+            out[ck] = {**conv, "kernel": conv["kernel"] * w}  # [..., O] * [O]
+            out[bk] = {"scale": jnp.ones_like(bn["scale"]),
+                       "var": jnp.full_like(bn["var"], 1.0 - eps),
+                       "mean": jnp.zeros_like(bn["mean"]),
+                       "bias": bn["bias"] - bn["mean"] * w}
+        return out
+
+    return walk(params)

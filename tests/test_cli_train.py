@@ -14,7 +14,7 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tools"))
 
-from fixtures import make_voc_devkit
+from fixtures import make_coco_devkit, make_voc_devkit
 
 pytestmark = pytest.mark.slow
 
@@ -65,6 +65,76 @@ def test_trainval_cli_and_resume(tmp_path):
     cli.main(_argv(tmp_path, epochs=2, resume=True))
     ckpts2 = sorted(os.listdir(os.path.join(run_dir, "ckpt")))
     assert len(ckpts2) >= len(ckpts)
+
+
+def _coco_argv(tmp_path, epochs=1, resume=False):
+    return [
+        "--dataset", "coco", "--net", "res50", "--g", "1",
+        "--coco_set", "2017_val",
+        "--data_dir", str(tmp_path), "--seen", "1",
+        "--bs", "2", "--nw", "0", "--debug",
+        "--epochs", str(epochs),
+        "--r", "true" if resume else "false",
+        "--save_dir", str(tmp_path / "models"),
+        "--disp_interval", "1",
+        "--set",
+        "tpu.image_size", "(128, 160)",
+        "tpu.portrait_bucket", "False",
+        "TRAIN.SCALES", "(100,)",
+        "TEST.SCALES", "(100,)",
+        "TRAIN.RPN_PRE_NMS_TOP_N", "256",
+        "TRAIN.RPN_POST_NMS_TOP_N", "32",
+        "TRAIN.RPN_BATCHSIZE", "32",
+        "TRAIN.BATCH_SIZE", "16",
+        "TEST.RPN_PRE_NMS_TOP_N", "256",
+        "TEST.RPN_POST_NMS_TOP_N", "32",
+        "MAX_NUM_GT_BOXES", "8",
+    ]
+
+
+def test_trainval_cli_coco_and_eval(tmp_path):
+    """The COCO branch of the train CLI (the reference's
+    trainval_net_coco.py:34 + train_coco.sh:13-33 recipe shape): records
+    cache, crowd gt through the train loader, 4-way group split, nonlocal
+    co-attention + 4-scale anchor dispatch.  Trains a debug epoch, resumes,
+    then closes the loop: the produced checkpoint must evaluate with
+    test_net.py --dataset coco to a finite AP."""
+    import test_net as eval_cli
+    import trainval_net as cli
+
+    make_coco_devkit(str(tmp_path))
+    cli.main(_coco_argv(tmp_path, epochs=1))
+
+    run_dir = os.path.join(str(tmp_path / "models"), "res50", "coco",
+                           "1.0.0")
+    saved = json.load(open(os.path.join(run_dir, "config.json")))
+    assert saved["model"]["coattention"] == "nonlocal"
+    assert tuple(saved["ANCHOR_SCALES"]) == (4, 8, 16, 32)
+    metrics = glob.glob(os.path.join(run_dir, "logs", "*.jsonl"))
+    rows = [json.loads(l) for l in open(metrics[0])]
+    assert rows and all(np.isfinite(r["loss"]) for r in rows if "loss" in r)
+
+    # resume epoch 2 from the saved step
+    cli.main(_coco_argv(tmp_path, epochs=2, resume=True))
+    assert os.listdir(os.path.join(run_dir, "ckpt"))
+
+    # closed loop: evaluate the trained checkpoint on the same tree
+    results = eval_cli.main([
+        "--dataset", "coco", "--net", "res50", "--g", "1",
+        "--data_dir", str(tmp_path), "--seen", "2", "--a", "1",
+        "--bs", "2", "--nw", "0",
+        "--checkpoint_path", os.path.join(run_dir, "ckpt"),
+        "--output_dir", str(tmp_path / "output"),
+        "--set",
+        "tpu.image_size", "(128, 160)",
+        "tpu.portrait_bucket", "False",
+        "TEST.SCALES", "(100,)",
+        "TEST.RPN_PRE_NMS_TOP_N", "256",
+        "TEST.RPN_POST_NMS_TOP_N", "32",
+        "MAX_NUM_GT_BOXES", "8",
+    ])
+    assert len(results) == 1
+    assert np.isfinite(results[0]["AP50"])  # coco result rows carry AP/AP50
 
 
 @pytest.mark.slow

@@ -200,7 +200,13 @@ TRAIN_FIXTURE = [
 ]
 
 
-def test_data_layer_train_parity(tmp_path, monkeypatch):
+@pytest.mark.parametrize("use_flipped", [False, True])
+def test_data_layer_train_parity(tmp_path, monkeypatch, use_flipped):
+    """Train items item-for-item vs the reference loader under forced
+    sampling — with use_flipped=True this also pins the one data-layer
+    knob the recipe trains with: append_flipped_images' doubled roidb with
+    x2 = W - 1 - x1 box mirroring (imdb.py:114-129) and the loader's
+    flipped-image branch (minibatch.py vs loader._prep_image)."""
     monkeypatch.chdir(tmp_path)
     make_voc_devkit(str(tmp_path / "VOCdevkit2007"), fixture=TRAIN_FIXTURE)
     _install_shims()
@@ -218,24 +224,29 @@ def test_data_layer_train_parity(tmp_path, monkeypatch):
         if p is not None else _orig_choice(cand, n))
 
     imdb, ref_ds, ratio_index = _ref_dataset(tmp_path, training=True,
-                                             seen=1, use_flipped=False)
-    cfg = _float_cfg(["TRAIN.USE_FLIPPED", "False"])
+                                             seen=1,
+                                             use_flipped=use_flipped)
+    cfg = _float_cfg(["TRAIN.USE_FLIPPED", repr(use_flipped)])
     view, loader = _our_view_and_loader(tmp_path, cfg, training=True,
                                         seen=1)
     loader.rng = _ForcedRng()
 
     # map: reference train item i reads roidb[ratio_index[i]] (training
     # ratio_index is the flat aspect-ratio sort order, roidb.py:50-74);
-    # align by image name
-    ref_order = [imdb.image_index[int(ratio_index[i])]
+    # align by (image name, flipped) — append_flipped doubles image_index
+    # in place (imdb.py:129) and appends flipped roidb rows in order
+    ref_order = [(imdb.image_index[int(ratio_index[i])],
+                  bool(imdb.roidb[int(ratio_index[i])].get("flipped")))
                  for i in range(len(ratio_index))]
-    our_by_img = {_rec_name(view.records[i]): i
-                  for i in range(len(view.records))}
+    our_by_img = {(_rec_name(view.records[i]), bool(view.records[i].flipped)):
+                  i for i in range(len(view.records))}
     assert sorted(ref_order) == sorted(our_by_img)
+    if use_flipped:
+        assert sum(f for _, f in ref_order) == len(ref_order) // 2
 
-    for i, img_name in enumerate(ref_order):
+    for i, img_key in enumerate(ref_order):
         r_img, r_query, r_info, r_gt, r_n = ref_ds[i]
-        ours = loader.train_item(our_by_img[img_name])
+        ours = loader.train_item(our_by_img[img_key])
 
         r_info = r_info.numpy().reshape(-1)
         # the reference pads H or W up to the batch target ratio with

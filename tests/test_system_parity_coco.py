@@ -59,10 +59,10 @@ SMALL = [
 
 
 def _ref_coco_dataset(tmp_path, *, seen=2, group=1, small=True,
-                      training=False):
+                      training=False, use_flipped=False):
     ref_cfg = _ref_cfg()
     ref_cfg.DATA_DIR = str(tmp_path)
-    ref_cfg.TRAIN.USE_FLIPPED = False
+    ref_cfg.TRAIN.USE_FLIPPED = use_flipped
     ref_cfg.TRAIN.SCALES = (128,)
     ref_cfg.TEST.SCALES = (128,)
     if small:
@@ -340,15 +340,19 @@ def test_full_system_eval_parity_coco(tmp_path, monkeypatch):
 # 3. Data layer, train mode: coco branch under forced sampling decisions
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("use_all_gt", [True, False])
-def test_data_layer_train_parity_coco(tmp_path, monkeypatch, use_all_gt):
+@pytest.mark.parametrize("use_all_gt,use_flipped",
+                         [(True, False), (False, False), (True, True)])
+def test_data_layer_train_parity_coco(tmp_path, monkeypatch, use_all_gt,
+                                      use_flipped):
     """The coco TRAIN item pipeline vs roibatchLoader under forced draws:
     the hardcoded coco class table -> list_ind gt filter, the
     inverse-frequency table (crowd instances count), binary relabel, query
     crop from the pkl-gated pool, MAX_NUM_GT_BOXES=50 padding, and the
     USE_ALL_GT crowd gate (config.py:160-161, minibatch.py:38-44) in BOTH
     settings — image 3's iscrowd box must appear in the training gt under
-    the reference's default True and vanish under False."""
+    the reference's default True and vanish under False.  The use_flipped
+    leg pins append_flipped_images' doubled roidb + mirrored boxes on the
+    coco branch (the recipe trains with flips ON)."""
     import random as pyrandom
 
     monkeypatch.chdir(tmp_path)
@@ -368,8 +372,8 @@ def test_data_layer_train_parity_coco(tmp_path, monkeypatch, use_all_gt):
 
     ref_cfg = _ref_cfg()
     ref_cfg.TRAIN.USE_ALL_GT = use_all_gt
-    imdb, roidb, ds, ratio_index = _ref_coco_dataset(tmp_path,
-                                                     training=True)
+    imdb, roidb, ds, ratio_index = _ref_coco_dataset(
+        tmp_path, training=True, use_flipped=use_flipped)
 
     from test_system_parity import _ForcedRng
 
@@ -377,7 +381,7 @@ def test_data_layer_train_parity_coco(tmp_path, monkeypatch, use_all_gt):
 
     cfg = _our_cfg().override([
         "TRAIN.SCALES", "(128,)",
-        "TRAIN.USE_FLIPPED", "False",
+        "TRAIN.USE_FLIPPED", repr(use_flipped),
         "TRAIN.USE_ALL_GT", repr(use_all_gt),
     ])
     view = _our_view(tmp_path)
@@ -391,14 +395,17 @@ def test_data_layer_train_parity_coco(tmp_path, monkeypatch, use_all_gt):
         np.testing.assert_allclose(loader.freq[ci], ds.show_time[ci],
                                    rtol=1e-12)
 
-    # align items by img_id (training ratio_index is the aspect-ratio sort)
-    our_by_img = {view.records[i].img_id: i
+    # align items by (img_id, flipped) — with USE_FLIPPED the roidb is
+    # doubled and the training ratio_index spans both halves
+    our_by_img = {(view.records[i].img_id, bool(view.records[i].flipped)): i
                   for i in range(len(view.records))}
+    assert len(our_by_img) == len(ratio_index)
     crowd_seen = 0
     for i in range(len(ratio_index)):
         rec = roidb[int(ratio_index[i])]
         r_img, r_query, r_info, r_gt, r_n = ds[i]
-        ours = loader.train_item(our_by_img[rec["img_id"]])
+        ours = loader.train_item(
+            our_by_img[(rec["img_id"], bool(rec.get("flipped")))])
 
         r_info = r_info.numpy().reshape(-1)
         h, w = int(ours["im_info"][0]), int(ours["im_info"][1])
@@ -418,4 +425,4 @@ def test_data_layer_train_parity_coco(tmp_path, monkeypatch, use_all_gt):
             # the crowd gate: 2 gt rows under USE_ALL_GT, 1 without
             assert int(r_n) == (2 if use_all_gt else 1)
             crowd_seen += 1
-    assert crowd_seen == 1
+    assert crowd_seen == (2 if use_flipped else 1)

@@ -49,6 +49,13 @@ def main():
     params = jax.device_put(params, dev)
     batch = jax.device_put(batch, dev)
 
+    if "--fold_bn" in sys.argv:
+        # eval-time exact BN-into-conv fold (models/resnet.fold_frozen_bn):
+        # the frozen-BN affine chains disappear from the compiled program
+        from ait_tpu.models.resnet import fold_frozen_bn
+        params = jax.device_put(fold_frozen_bn(jax.device_get(params)), dev)
+        print("serve_bench: frozen BN folded into conv kernels")
+
     ev = make_eval_step(model)
     t = cfg.TEST
 
