@@ -18,6 +18,15 @@ zeros_init = nn.initializers.zeros
 xavier_uniform = nn.initializers.xavier_uniform
 
 
+# EVAL-time program variant paired with models.resnet.fold_frozen_bn: with
+# the BN scale folded into the conv kernels (params-side, exact), every
+# FrozenBatchNorm's multiply is x * 1.0 — set this flag so the compiled
+# program drops the full-activation multiplies and keeps only the bias
+# adds.  Same default-off-global pattern as attention._LONG_SEQ_FUSION;
+# NEVER use with unfolded params (the scale would be silently ignored).
+BN_BIAS_ONLY = False
+
+
 class FrozenBatchNorm(nn.Module):
     """BatchNorm that is a constant affine transform.
 
@@ -45,6 +54,10 @@ class FrozenBatchNorm(nn.Module):
         w, b_, m, v = (lax.stop_gradient(t) for t in (scale, bias, mean, var))
         w = w * lax.rsqrt(v + self.eps)
         b = b_ - m * w
+        if BN_BIAS_ONLY:
+            # fold_frozen_bn'd params: w == 1 bitwise, the multiply is
+            # dead — emit only the per-channel bias add
+            return x + b.astype(x.dtype)
         return x * w.astype(x.dtype) + b.astype(x.dtype)
 
 

@@ -67,6 +67,28 @@ def test_fold_exact_backbone_and_top():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_bias_only_program_with_folded_params_matches():
+    """The serving variant: BN_BIAS_ONLY program + folded params ==
+    original program + original params (the pair serve_bench --fold_bn
+    runs).  The bias-only program must NOT be used with unfolded params —
+    asserted by showing it diverges there."""
+    from ait_tpu.models import layers as layers_mod
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 64, 80, 3).astype("f") * 0.5)
+    bb = ResNetBackbone(variant="resnet50", dtype=jnp.float32)
+    p = _randomize_bn(bb.init(jax.random.PRNGKey(0), x)["params"], rng)
+    want = np.asarray(bb.apply({"params": p}, x))
+    try:
+        layers_mod.BN_BIAS_ONLY = True
+        got = np.asarray(bb.apply({"params": fold_frozen_bn(p)}, x))
+        diverged = np.asarray(bb.apply({"params": p}, x))
+    finally:
+        layers_mod.BN_BIAS_ONLY = False
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    assert not np.allclose(diverged, want, atol=1e-3)
+
+
 def test_folded_bn_is_pure_bias():
     """After the fold every BN computes EXACTLY x + b': scale=1 and
     var=1-eps reconstruct w' = rsqrt((1-eps)+eps) = rsqrt(1.0) = 1.0

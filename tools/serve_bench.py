@@ -50,11 +50,14 @@ def main():
     batch = jax.device_put(batch, dev)
 
     if "--fold_bn" in sys.argv:
-        # eval-time exact BN-into-conv fold (models/resnet.fold_frozen_bn):
-        # the frozen-BN affine chains disappear from the compiled program
+        # eval-time exact BN-into-conv fold (models/resnet.fold_frozen_bn)
+        # + the bias-only program variant: the ~53 full-activation BN
+        # multiplies disappear from the compiled eval program
+        from ait_tpu.models import layers as layers_mod
         from ait_tpu.models.resnet import fold_frozen_bn
         params = jax.device_put(fold_frozen_bn(jax.device_get(params)), dev)
-        print("serve_bench: frozen BN folded into conv kernels")
+        layers_mod.BN_BIAS_ONLY = True
+        print("serve_bench: frozen BN folded into conv kernels (bias-only)")
 
     ev = make_eval_step(model)
     t = cfg.TEST
