@@ -186,3 +186,21 @@ def test_voc_eval_matches_reference(devkit, tmp_path):
             str(tmp_path / f"cache_{cname}"), ovthresh=0.5,
             use_07_metric=True)
         assert abs(ours[cname] - ref_ap) < 1e-8, cname
+
+
+def test_shot_order_matches_global_seed_sequence():
+    """The thread-safe local Random(img_id) shuffle must produce the exact
+    sequence of the reference's `random.seed(img_id); random.shuffle`
+    (roibatchLoader.py:299-307) — the seed-by-img-id eval determinism
+    contract.  (A global-module seed would be timing-dependent under the
+    loader's thread pool; the local generator is the fix.)"""
+    import random
+
+    from ait_tpu.data.loader import _shot_order
+
+    for img_id in (0, 1, 7, 123456, 2**31 - 1):
+        for n in (1, 2, 5, 30):
+            want = list(range(n))
+            random.seed(img_id)
+            random.shuffle(want)
+            assert _shot_order(img_id, n) == want, (img_id, n)
