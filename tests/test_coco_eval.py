@@ -41,35 +41,44 @@ def _stub_iou(dt, gt, iscrowd):
 
 @pytest.fixture(scope="module")
 def ref_cocoeval():
-    """Import the vendored reference COCOeval with stubbed deps."""
+    """Import the vendored reference COCOeval with stubbed deps.
+
+    Shared stubs (lib.ops.utils incl. mkdir, the popen tty patch, the
+    reference path) come from ref_harness.install() — replacing
+    sys.modules['lib.ops.utils'] with a thinner local stub used to break
+    any LATER test in the same process that imports reference modules
+    needing mkdir (full-suite-only isolation failure, round 5).  Only the
+    pycocotools entries are overridden — with the INDEPENDENT numpy iou
+    (_stub_iou cross-checks the native kernel) — and restored at
+    teardown so the COCO system tests see the shared stubs again."""
+    import ref_harness
+
+    ref_harness.install()
+
     mask_stub = types.ModuleType("pycocotools.mask")
     mask_stub.iou = _stub_iou
     mask_stub.area = lambda r: 0.0
     mask_stub.frPyObjects = lambda *a: None
-
     pkg = types.ModuleType("pycocotools")
     pkg.__path__ = ["/root/reference/lib/pycocotools"]
-    utils_stub = types.ModuleType("lib.ops.utils")
-    utils_stub.printer = lambda *a, **k: None
-    utils_stub.color = lambda *a, **k: ""
-    lib_stub = types.ModuleType("lib")
-    ops_stub = types.ModuleType("lib.ops")
-    sys.modules.setdefault("lib", lib_stub)
-    sys.modules.setdefault("lib.ops", ops_stub)
-    sys.modules["lib.ops.utils"] = utils_stub
+
+    names = ("pycocotools", "pycocotools.mask", "pycocotools.coco",
+             "pycocotools.cocoeval")
+    saved = {n: sys.modules.get(n) for n in names}
+    for n in ("pycocotools.coco", "pycocotools.cocoeval"):
+        sys.modules.pop(n, None)
     sys.modules["pycocotools"] = pkg
     sys.modules["pycocotools.mask"] = mask_stub
-    # the vendored modules run `stty size` at import, which needs a tty
-    import io
-    import os as _os
-    real_popen = _os.popen
-    _os.popen = lambda *a, **k: io.StringIO("24 80")
     try:
         import pycocotools.coco as ref_coco
         import pycocotools.cocoeval as ref_eval
+        yield ref_coco, ref_eval
     finally:
-        _os.popen = real_popen
-    return ref_coco, ref_eval
+        for n in names:
+            if saved[n] is None:
+                sys.modules.pop(n, None)
+            else:
+                sys.modules[n] = saved[n]
 
 
 def make_dataset(tmp_path, seed=0):
