@@ -27,6 +27,9 @@ BATCH = 8
 WARMUP = 2
 ITERS = 10
 
+if "--bs" in sys.argv:
+    BATCH = int(sys.argv[sys.argv.index("--bs") + 1])
+
 
 def main():
     import numpy as np
