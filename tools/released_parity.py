@@ -66,9 +66,10 @@ def parse_args(argv=None):
     p.add_argument("--no-gate", action="store_true",
                    help="report only; always exit 0")
     p.add_argument("--out_dir", default="released_parity_out")
-    p.add_argument("--set", dest="set_cfgs", nargs=argparse.REMAINDER,
-                   default=[], help="extra config overrides, passed through "
-                                    "to test_net.py")
+    p.add_argument("--set", dest="set_cfgs", nargs="*",
+                   default=[], help="dotted-key config overrides, passed "
+                                    "through to test_net.py (same "
+                                    "convention as the other CLIs)")
     return p.parse_args(argv)
 
 
